@@ -1,0 +1,177 @@
+"""Latent transition models as scan-ready cells.
+
+Re-designs ``/root/reference/pdecontrol/surrogates/transition.py`` for JAX:
+instead of separate Python-loop ``teacherforcing``/``transition`` methods,
+every model is a single *cell* with signature
+
+    carry, outlatent = cell(carry, laction, lstate, tf)
+
+driven by ``lax.scan``.  ``tf`` is a (traced) boolean: when true the cell
+adopts the reference's teacher-forcing scheme — the hidden state ``H`` is
+*overwritten* with the provided latent before the gate update
+(transition.py:83,276-277) — and when false it runs the free-running
+transition (which for the LSTM-family ignores ``lstate`` entirely, exactly
+like the reference's ``transition`` methods ignore their ``states`` arg;
+transition.py:91-109,285-296).  The ``DelayCell`` instead pushes ``lstate``
+into its history buffer in both modes (transition.py:334-382).
+
+Initial carries are zeros, mirroring the reference's non-learnable
+``H0``/``C0`` parameters (transition.py:50-58,253-258).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Carry = Any
+
+
+class TransitionCell(nn.Module):
+    """Interface; concrete cells define state shapes and the update."""
+
+    #: Whether the free-running path consumes the re-encoded previous output.
+    needs_prev_latent: bool = False
+
+    def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
+        raise NotImplementedError
+
+
+class LSTMCell(TransitionCell):
+    """Flattened-input LSTM (reference ``LSTMTransitionModel``,
+    transition.py:34-109).  Latent states/actions ``[B, C, H]`` are flattened
+    to vectors; hidden size = schannels * ssize."""
+
+    schannels: int = 1
+    ssize: int = 16
+    needs_prev_latent: bool = False
+
+    @property
+    def hidden_size(self) -> int:
+        return self.schannels * self.ssize
+
+    def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
+        z = jnp.zeros((batch, self.hidden_size), dtype)
+        return (z, z)
+
+    @nn.compact
+    def __call__(
+        self, carry: Carry, laction: Array, lstate: Array, tf: Array
+    ) -> Tuple[Carry, Array]:
+        h, c = carry
+        b = laction.shape[0]
+        x = laction.reshape(b, -1)
+        forced = lstate.reshape(b, -1)
+        h = jnp.where(jnp.reshape(tf, (-1, 1)), forced, h)
+
+        # Standard LSTM gate math (torch nn.LSTM parameterisation).
+        gates = nn.Dense(4 * self.hidden_size, name="wx")(x) + nn.Dense(
+            4 * self.hidden_size, use_bias=False, name="wh"
+        )(h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h = nn.sigmoid(o) * jnp.tanh(c)
+        out = h.reshape(b, self.schannels, self.ssize)
+        return (h, c), out
+
+
+class CNNLSTMCell(TransitionCell):
+    """Convolutional LSTM over the periodic spatial axis (reference
+    ``CNNLSTMCell``/``CNNLSTMTransitionModel``, transition.py:112-296).
+
+    Four x-convs (with bias; output-gate bias initialised to 1.0, the others
+    to 0 — transition.py:213-216) and four h-convs (no bias), all circular,
+    kernel 3.  Latents are ``[B, C, H]``; internally NWC.
+    """
+
+    schannels: int = 16
+    ssize: int = 16
+    kernel_size: int = 3
+    needs_prev_latent: bool = False
+
+    def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
+        z = jnp.zeros((batch, self.schannels, self.ssize), dtype)
+        return (z, z)
+
+    @nn.compact
+    def __call__(
+        self, carry: Carry, laction: Array, lstate: Array, tf: Array
+    ) -> Tuple[Carry, Array]:
+        h, c = carry
+        h = jnp.where(jnp.reshape(tf, (-1, 1, 1)), lstate, h)
+
+        # NWC for the convs.
+        x_ = jnp.swapaxes(laction, -1, -2)
+        h_ = jnp.swapaxes(h, -1, -2)
+
+        def xconv(name, bias_init):
+            return nn.Conv(
+                self.schannels,
+                (self.kernel_size,),
+                padding="CIRCULAR",
+                use_bias=True,
+                bias_init=bias_init,
+                name=name,
+            )(x_)
+
+        def hconv(name):
+            return nn.Conv(
+                self.schannels,
+                (self.kernel_size,),
+                padding="CIRCULAR",
+                use_bias=False,
+                name=name,
+            )(h_)
+
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        ci = nn.sigmoid(xconv("wxi", zeros) + hconv("whi"))
+        cf = nn.sigmoid(xconv("wxf", zeros) + hconv("whf"))
+        cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(xconv("wxc", zeros) + hconv("whc"))
+        co = nn.sigmoid(xconv("wxo", ones) + hconv("who"))
+        ch = co * jnp.tanh(cc)
+
+        h = jnp.swapaxes(ch, -1, -2)
+        c = jnp.swapaxes(cc, -1, -2)
+        return (h, c), h
+
+
+class DelayCell(TransitionCell):
+    """Fixed-delay history MLP (reference ``DelayTransitionModel``,
+    transition.py:299-382): ring buffers of the last ``delay`` latent states
+    and actions, pushed newest-last, fed through an MLP."""
+
+    schannels: int = 8
+    ssize: int = 8
+    achannels: int = 4
+    asize: int = 8
+    delay: int = 3
+    fwd: nn.Module = None
+    needs_prev_latent: bool = True
+
+    def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
+        s = jnp.zeros((batch, self.delay, self.schannels, self.ssize), dtype)
+        a = jnp.zeros((batch, self.delay, self.achannels, self.asize), dtype)
+        return (s, a)
+
+    @nn.compact
+    def __call__(
+        self, carry: Carry, laction: Array, lstate: Array, tf: Array
+    ) -> Tuple[Carry, Array]:
+        sctx, actx = carry
+        # Write into slot 0 then roll left: newest ends at slot -1
+        # (transition.py:348-353).
+        sctx = jnp.roll(sctx.at[:, 0].set(lstate), shift=-1, axis=1)
+        actx = jnp.roll(actx.at[:, 0].set(laction), shift=-1, axis=1)
+
+        b = sctx.shape[0]
+        augmented = jnp.concatenate((sctx, actx), axis=2)
+        augmented = augmented.reshape(
+            b, self.delay * (self.schannels + self.achannels), self.ssize
+        )
+        out = self.fwd(augmented)
+        out = out.reshape(b, self.schannels, self.ssize)
+        return (sctx, actx), out
