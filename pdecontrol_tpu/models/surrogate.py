@@ -105,6 +105,7 @@ class PDESurrogate(nn.Module):
         """
         b, tw = states.shape[:2]
         t_total = actions.shape[1]
+        actions = actions.astype(states.dtype)
 
         if reencode is None:
             reencode_np = np.zeros(t_total, bool)
@@ -156,7 +157,14 @@ class PDESurrogate(nn.Module):
                     )
 
                 if mdl.cell.needs_prev_latent or reencode_any:
-                    prev_lat = jax.lax.stop_gradient(mdl.state_encoder(prev))
+                    # Two distinct detach semantics from the reference:
+                    # self-forcing (TBPTT boundary) encodes the *detached*
+                    # output but keeps encoder-weight gradients
+                    # (training.py:86-98 -> surrogate.py:80); the plain
+                    # free-run `inlast` detaches the encoder *output*
+                    # (surrogate.py:103,115).
+                    raw = mdl.state_encoder(jax.lax.stop_gradient(prev))
+                    prev_lat = jnp.where(reb, raw, jax.lax.stop_gradient(raw))
                     lstate_in = jnp.where(tfb, lstate_gt, prev_lat)
                 else:
                     # LSTM-family cells ignore lstate when not forcing
@@ -206,7 +214,7 @@ class PDESurrogate(nn.Module):
                     # (surrogate.py:158-160 run the encoder on the previous
                     # outputs at every call).
                     reb = re[:, None, None]
-                    relat = jax.lax.stop_gradient(mdl.state_encoder(prev_out))
+                    relat = mdl.state_encoder(jax.lax.stop_gradient(prev_out))
                     inlatent = jnp.where(reb, relat, inlatent)
                     hidden = jax.tree.map(
                         lambda h: jnp.where(

@@ -1,0 +1,297 @@
+"""Surrogate training: fused-TBPTT train step, free-run validation, early
+stopping, curriculum — the jitted re-design of the reference's
+pytorch-lightning harness.
+
+Reference mapping:
+  * ``train_step`` == ``PDETrainingModule.training_step`` (training.py:64-130)
+    with the chunked TBPTT Python loop replaced by ONE fused rollout whose
+    per-step ``reencode`` schedule self-forces (and gradient-stops) at every
+    chunk boundary — the scan-with-stop_gradient equivalent of detaching
+    ``dslast``/hidden between chunks (training.py:86-98).  Loss on per-step
+    deltas ("delta" mode, AutoReg) or decoded states ("decoded" mode,
+    Latent) (training.py:49-55,106-109).
+  * ``val_step`` == ``validation_step`` (training.py:132-174): full free-run
+    from a tau warmup; the early-stopping / elite score is the MSE in
+    *unscaled* space (training.py:157-164).
+  * ``fit`` == ``pl.Trainer.fit`` + ``EarlyStopping`` + curriculum
+    datamodule reload (mbrl.py:344-382, datamodule.py:48-98): epochs re-draw
+    windows of length ``tau + K(curriculum)`` from the replay; early
+    stopping on "Val. Loss" with patience, bounded by min/max optimizer
+    steps (the two-phase initial/iterations trainer configs,
+    mbrl.py:369-382).
+  * optimizer == Adam + StepLR(step_size, gamma) per epoch
+    (training.py:273-278) + optional global-norm gradient clipping
+    (``gradient_clip_val``, runscripts/offline.sh).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from pdecontrol_tpu.data import replay as R
+from pdecontrol_tpu.envs.transforms import Normalize, SampleTransform
+from pdecontrol_tpu.models.surrogate import AUTOREG, PDESurrogate
+
+Array = jax.Array
+
+
+class TrainConfig(NamedTuple):
+    tau: int = 5
+    tbtt: int = 10
+    lr: float = 1e-3
+    lr_gamma: float = 1.0
+    step_size: int = 25
+    batch_size: int = 64
+    patience: int = 10
+    gradient_clip_val: float = 0.0
+    max_epochs: int = 1000
+    min_steps: int = 0
+    max_steps: int = 0
+
+
+class TrainerState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    global_step: Array  # int32 optimizer steps taken (across retrains)
+
+
+def tbtt_reencode_mask(t_total: int, tbtt: int) -> np.ndarray:
+    """Self-forcing steps at TBPTT chunk boundaries (training.py:71-75)."""
+    idx = np.arange(t_total)
+    return (idx >= tbtt) & (idx % tbtt == 0)
+
+
+class SurrogateTrainer:
+    def __init__(
+        self,
+        module: PDESurrogate,
+        loss_fn: Callable,
+        config: TrainConfig,
+    ):
+        assert config.tbtt > config.tau, (
+            "Chunk size of TBPTT must be larger than warm-up length."
+        )
+        self.module = module
+        self.loss_fn = loss_fn
+        self.config = config
+        tx = [optax.scale_by_adam()]
+        if config.gradient_clip_val:
+            tx = [optax.clip_by_global_norm(config.gradient_clip_val)] + tx
+        self.opt = optax.chain(*tx)
+        self.mode = "delta" if module.mode == AUTOREG else "decoded"
+        self._train_jit = {}
+        self._val_jit = {}
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: Array, example_states: Array, example_actions: Array,
+             params: Any = None) -> TrainerState:
+        if params is None:
+            params = self.module.init(key, example_states, example_actions)["params"]
+        return TrainerState(
+            params=params,
+            opt_state=self.opt.init(params),
+            global_step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------- core math
+    def _losses(self, params, states, actions, und: Normalize):
+        """Elementwise training loss tensor [B, T-1, C, H]."""
+        cfg = self.config
+        mask = tbtt_reencode_mask(actions.shape[1], cfg.tbtt)
+        roll = self.module.apply(
+            {"params": params},
+            states[:, : cfg.tau],
+            actions,
+            dscaling=und.inv,
+            reencode=mask,
+        )
+        if self.mode == "delta":
+            out = roll.deltas[:, :-1]
+            target = und.apply(jnp.diff(states, axis=1) / self.module.delta)
+            elems = self.loss_fn(out, target)
+        else:
+            decoded = jnp.concatenate([states[:, :1], roll.outputs[:, :-1]], axis=1)
+            elems = self.loss_fn(decoded, states)
+        return elems, roll
+
+    def train_step(
+        self,
+        state: TrainerState,
+        states: Array,
+        actions: Array,
+        und: Normalize,
+        lr: Array,
+    ) -> Tuple[TrainerState, Dict[str, Array]]:
+        def loss_fn(params):
+            elems, roll = self._losses(params, states, actions, und)
+            return jnp.mean(elems), (elems, roll)
+
+        (loss, (elems, roll)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "train_loss": loss,
+            "hstep_loss": jnp.mean(elems, axis=(0, 2, 3)),
+            "mean_delta_output": jnp.mean(roll.deltas),
+            "std_delta_output": jnp.std(roll.deltas),
+        }
+        return (
+            state.replace(params=params, opt_state=opt_state,
+                          global_step=state.global_step + 1),
+            metrics,
+        )
+
+    def val_step(
+        self, params, states, actions, und: Normalize, stransf: SampleTransform
+    ) -> Dict[str, Array]:
+        cfg = self.config
+        roll = self.module.apply(
+            {"params": params}, states[:, : cfg.tau], actions, dscaling=und.inv
+        )
+        decoded = jnp.concatenate([states[:, :1], roll.outputs[:, :-1]], axis=1)
+
+        outdeltas = roll.deltas[:, :-1]
+        target = und.apply(jnp.diff(states, axis=1) / self.module.delta)
+        delta_loss = jnp.mean(self.loss_fn(outdeltas, target))
+        scaled_loss = jnp.mean(self.loss_fn(decoded, states))
+
+        # Unscale before the early-stopping metric (training.py:157-164).
+        states_u = stransf.otransf.inverse(states)
+        decoded_u = stransf.otransf.inverse(decoded)
+        elems = self.loss_fn(decoded_u, states_u)
+        return {
+            "val_loss": jnp.mean(elems),
+            "val_hstep_loss": jnp.mean(elems, axis=(0, 2, 3)),
+            "val_delta_loss": delta_loss,
+            "val_scaled_loss": scaled_loss,
+        }
+
+    # ------------------------------------------------- jitted epoch plumbing
+    def _train_batch_fn(self, length: int):
+        if length not in self._train_jit:
+            cfg = self.config
+
+            @jax.jit
+            def run(state, replay, rows_mask, und, stransf, lr, key):
+                batch = R.sample_windows(
+                    replay, key, cfg.batch_size, length, rows_mask
+                )
+                batch = stransf(batch)
+                return self.train_step(state, batch.obs, batch.actions, und, lr)
+
+            self._train_jit[length] = run
+        return self._train_jit[length]
+
+    def _val_batch_fn(self, length: int):
+        if length not in self._val_jit:
+            cfg = self.config
+
+            @jax.jit
+            def run(params, replay, rows_mask, und, stransf, key):
+                batch = R.sample_windows(
+                    replay, key, cfg.batch_size, length, rows_mask
+                )
+                batch = stransf(batch)
+                return self.val_step(params, batch.obs, batch.actions, und, stransf)
+
+            self._val_jit[length] = run
+        return self._val_jit[length]
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        state: TrainerState,
+        replay: R.ReplayState,
+        train_mask: Array,
+        val_mask: Array,
+        und: Normalize,
+        stransf: SampleTransform,
+        curriculum,
+        iteration: int,
+        key: Array,
+        min_steps: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        patience: Optional[int] = None,
+        max_epochs: Optional[int] = None,
+    ) -> Tuple[TrainerState, float, Dict[str, float]]:
+        """Host-side fit loop (one ensemble member).  Returns the final
+        state, the last 'Val. Loss' (the elite score, mbrl.py:595), and logs.
+        """
+        cfg = self.config
+        min_steps = cfg.min_steps if min_steps is None else min_steps
+        max_steps = cfg.max_steps if max_steps is None else max_steps
+        patience = cfg.patience if patience is None else patience
+        max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
+
+        fill = np.asarray(jax.device_get(replay.fill))
+        train_np = np.asarray(jax.device_get(train_mask)).astype(bool)
+        val_np = np.asarray(jax.device_get(val_mask)).astype(bool)
+
+        start_step = int(jax.device_get(state.global_step))
+        best, wait = math.inf, 0
+        val_loss = math.nan
+        logs: Dict[str, float] = {}
+        epoch = 0
+        stop = False
+
+        while not stop and epoch < max_epochs:
+            k = int(curriculum(iteration=iteration, epoch=epoch,
+                               step=int(jax.device_get(state.global_step))))
+            length = cfg.tau + k
+            lr = cfg.lr * (cfg.lr_gamma ** (epoch // cfg.step_size))
+
+            # Epoch size = non-overlapping window count over train episodes
+            # (SubSeqDataset default stride == length, dataset.py:54-58).
+            nwin = int(np.sum(np.maximum((fill[train_np] - length) // length + 1, 0)))
+            nb = max(nwin // cfg.batch_size, 1)
+
+            run = self._train_batch_fn(length)
+            for b in range(nb):
+                steps_taken = int(jax.device_get(state.global_step)) - start_step
+                if max_steps and steps_taken >= max_steps:
+                    stop = True
+                    break
+                key, kb = jax.random.split(key)
+                state, tm = run(state, replay, train_mask, und, stransf,
+                                jnp.asarray(lr), kb)
+
+            key, kv = jax.random.split(key)
+            vm = self._val_batch_fn(length)(
+                state.params, replay, val_mask, und, stransf, kv
+            )
+            val_loss = float(jax.device_get(vm["val_loss"]))
+            logs = {
+                "train_loss": float(jax.device_get(tm["train_loss"])),
+                "val_loss": val_loss,
+                "val_delta_loss": float(jax.device_get(vm["val_delta_loss"])),
+                "epochs": epoch + 1,
+                "curriculum_K": k,
+                "lr": lr,
+            }
+
+            # Lightning-style EarlyStopping on "Val. Loss" (mbrl.py:351-354),
+            # gated by the min-steps window (mbrl.py:379-380).
+            steps_taken = int(jax.device_get(state.global_step)) - start_step
+            if val_loss < best:
+                best, wait = val_loss, 0
+            else:
+                wait += 1
+                if wait >= patience and steps_taken >= min_steps:
+                    stop = True
+            if max_steps and steps_taken >= max_steps:
+                stop = True
+            epoch += 1
+
+        logs["steps"] = int(jax.device_get(state.global_step)) - start_step
+        return state, val_loss, logs

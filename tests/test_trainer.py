@@ -1,0 +1,180 @@
+"""Trainer tests: fused TBPTT == chunked reference pattern, fit/early-stop,
+losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdecontrol_tpu.data import replay as R
+from pdecontrol_tpu.envs.transforms import Identity, Normalize, SampleTransform
+from pdecontrol_tpu.models import factories
+from pdecontrol_tpu.train.losses import BurgersPhyPDELoss, make_loss, mse_loss
+from pdecontrol_tpu.train.schedulers import ConstantLengthScheduler, LinearScheduler
+from pdecontrol_tpu.train.trainer import (
+    SurrogateTrainer,
+    TrainConfig,
+    tbtt_reencode_mask,
+)
+
+
+def _data(key, b=2, t=8, n=64):
+    k1, k2 = jax.random.split(key)
+    states = jax.random.normal(k1, (b, t, 1, n), jnp.float32)
+    actions = jax.random.uniform(k2, (b, t, 1, 4), dtype=jnp.float32, minval=-1, maxval=1)
+    return states, actions
+
+
+def test_reencode_mask():
+    np.testing.assert_array_equal(
+        tbtt_reencode_mask(8, 4), [0, 0, 0, 0, 1, 0, 0, 0, ][:8]
+    )
+    assert not tbtt_reencode_mask(8, 1000).any()
+
+
+def test_fused_tbtt_matches_chunked_reference_pattern():
+    """Fused single-scan TBPTT loss/grads == the reference's explicit chunk
+    loop (training.py:69-112): warmup rollout, then per-chunk rollouts
+    teacher-forced on the detached last output with detached hidden."""
+    key = jax.random.PRNGKey(0)
+    tau, tbtt, t = 2, 4, 8
+    model = factories.make("KSAutoRegConvolutionalLSTM", delta=0.25)
+    states, actions = _data(key, t=t)
+    params = model.init(key, states[:, :tau], actions)
+    und = Identity()
+
+    def fused_loss(p):
+        mask = tbtt_reencode_mask(t, tbtt)
+        roll = model.apply({"params": p}, states[:, :tau], actions,
+                           dscaling=und, reencode=mask)
+        out = roll.deltas[:, :-1]
+        target = jnp.diff(states, axis=1) / model.delta
+        return jnp.mean(mse_loss(out, target))
+
+    def chunked_loss(p):
+        outdeltas = []
+        roll = model.apply({"params": p}, states[:, :tau], actions[:, :tbtt],
+                           dscaling=und)
+        outdeltas.append(roll.deltas)
+        hidden = jax.tree.map(jax.lax.stop_gradient, roll.hidden)
+        last = jax.lax.stop_gradient(roll.outputs[:, -1:])
+        for c in range(tbtt, t, tbtt):
+            roll = model.apply({"params": p}, last, actions[:, c : c + tbtt],
+                               dscaling=und, hidden=hidden)
+            outdeltas.append(roll.deltas)
+            hidden = jax.tree.map(jax.lax.stop_gradient, roll.hidden)
+            last = jax.lax.stop_gradient(roll.outputs[:, -1:])
+        out = jnp.concatenate(outdeltas, axis=1)[:, :-1]
+        target = jnp.diff(states, axis=1) / model.delta
+        return jnp.mean(mse_loss(out, target))
+
+    lf, gf = jax.value_and_grad(fused_loss)(params["params"])
+    lc, gc = jax.value_and_grad(chunked_loss)(params["params"])
+    np.testing.assert_allclose(float(lf), float(lc), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def _ks_replay(key, episodes=6, ep_len=24, n=32):
+    """Fill a replay with short KS episodes (small grid for speed)."""
+    from pdecontrol_tpu.envs.kuramoto import KuramotoSivashinsky
+
+    env = KuramotoSivashinsky.create(n=n, length=22.0, cfg_steps=25,
+                                     t_max=ep_len * 25 * 1e-3,
+                                     dtype=jnp.float32)
+    rep = R.create(episodes + 2, ep_len, episodes, (1, n), (1, 4),
+                   dtype=jnp.float32)
+    pool = jax.random.uniform(key, (episodes, n), minval=-0.4, maxval=0.4,
+                              dtype=jnp.float32)
+    state = env.reset_from_pool(key, pool, (episodes,))
+    writer = jax.jit(R.write_step)
+    stepper = jax.jit(lambda s, a, p: env.vec_step(s, a, p))
+    for t in range(ep_len):
+        key, ka = jax.random.split(key)
+        actions = jax.random.uniform(ka, (episodes, 1, 4), minval=-1, maxval=1,
+                                     dtype=jnp.float32)
+        obs = env.observe(state)
+        state, out = stepper(state, actions, pool)
+        rep = writer(rep, obs, actions, out.reward, out.terminated,
+                     out.truncated, out.info["final_obs"], out.info["step"])
+    return env, rep
+
+
+def test_fit_learns_and_early_stops():
+    key = jax.random.PRNGKey(1)
+    env, rep = _ks_replay(key)
+
+    model = factories.make("KSAutoRegConvolutionalLSTM", delta=env.delta, N=32)
+    cfg = TrainConfig(tau=2, tbtt=5, lr=2e-3, batch_size=16, patience=3,
+                      max_epochs=40, max_steps=150)
+    trainer = SurrogateTrainer(model, mse_loss, cfg)
+
+    states = jnp.zeros((1, 2, 1, 32))
+    actions = jnp.zeros((1, 7, 1, 4))
+    tstate = trainer.init(key, states, actions)
+
+    und = Normalize.create((1, 1, 32), aggregate=True, batched=True,
+                           dtype=jnp.float32)
+    mean, var = R.delta_statistics(rep, Identity(), env.delta)
+    und = und.replace(mean=und.mean + mean, var=und.var + var,
+                      count=und.count + 1)
+
+    train_mask = (jnp.arange(rep.num_rows) < 4)
+    val_mask = (jnp.arange(rep.num_rows) >= 4) & (rep.fill > 0)
+
+    stransf = SampleTransform()  # identity transforms; und handles scaling
+    sched = ConstantLengthScheduler(length=5)
+
+    tstate1, val1, logs1 = trainer.fit(
+        tstate, rep, train_mask, val_mask, und, stransf, sched,
+        iteration=0, key=key,
+    )
+    assert logs1["steps"] > 0
+    assert np.isfinite(val1)
+
+    tstate2, val2, logs2 = trainer.fit(
+        tstate1, rep, train_mask, val_mask, und, stransf, sched,
+        iteration=1, key=jax.random.PRNGKey(2), max_steps=300,
+    )
+    # Training reduces the free-run validation loss vs the untrained model.
+    v0 = trainer._val_batch_fn(5)(
+        tstate.params, rep, val_mask, und, stransf, jax.random.PRNGKey(3)
+    )
+    assert val2 < float(v0["val_loss"]), (val2, float(v0["val_loss"]))
+
+
+def test_fit_respects_max_steps():
+    key = jax.random.PRNGKey(4)
+    env, rep = _ks_replay(key, episodes=4, ep_len=12)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta, N=32)
+    cfg = TrainConfig(tau=2, tbtt=4, batch_size=8, patience=100,
+                      max_epochs=100, max_steps=7)
+    trainer = SurrogateTrainer(model, mse_loss, cfg)
+    tstate = trainer.init(key, jnp.zeros((1, 2, 1, 32)), jnp.zeros((1, 4, 1, 4)))
+    mask = rep.fill > 0
+    tstate, _, logs = trainer.fit(
+        tstate, rep, mask, mask, Identity(), SampleTransform(),
+        ConstantLengthScheduler(length=2), iteration=0, key=key,
+    )
+    assert logs["steps"] <= 8  # max_steps + at most one epoch-boundary step
+
+
+def test_schedulers():
+    lin = LinearScheduler(steptype="iteration", start=0, stop=10, vmin=3, vmax=7)
+    assert lin(iteration=0) == 3
+    assert lin(iteration=10) == 7
+    assert lin(iteration=5) == 5
+    assert lin(iteration=20) == 7
+
+    from pdecontrol_tpu.train.schedulers import Scheduler
+    s = Scheduler.factory({"scheduler": "LinearScheduler", "steptype": "epoch",
+                           "start": 0, "stop": 100, "vmin": 25, "vmax": 50})
+    assert s(epoch=0) == 25 and s(epoch=100) == 50
+
+
+def test_burgers_phy_loss():
+    loss = make_loss("BurgersPhyPDELoss", {"dx": 0.25, "dt": 1e-3, "nu": 0.05, "N": 64})
+    assert isinstance(loss, BurgersPhyPDELoss)
+    u = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 1, 64))
+    out = loss(u)
+    assert out.shape == (2, 5, 1, 64)
+    assert np.isfinite(np.asarray(out)).all()
