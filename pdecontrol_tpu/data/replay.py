@@ -126,10 +126,12 @@ def write_step(
     )
 
     # Allocate fresh rows for envs whose episode just ended (ring FIFO).
-    offsets = jnp.cumsum(done.astype(jnp.int32)) - 1
-    new_rows = replay.next_row + offsets
-    row_of_env = jnp.where(done, new_rows, replay.row_of_env)
-    next_row = replay.next_row + jnp.sum(done.astype(jnp.int32))
+    offsets = (jnp.cumsum(done.astype(jnp.int32)) - 1).astype(jnp.int32)
+    new_rows = (replay.next_row + offsets).astype(jnp.int32)
+    row_of_env = jnp.where(done, new_rows, replay.row_of_env).astype(jnp.int32)
+    next_row = (
+        replay.next_row + jnp.sum(done.astype(jnp.int32))
+    ).astype(jnp.int32)
 
     # Wipe the fill/complete flags of newly claimed (recycled) rows.
     claimed = new_rows % replay.num_rows

@@ -1,0 +1,81 @@
+"""Typed MBPO configuration with the reference's CLI defaults
+(``/root/reference/pdecontrol/mbrl/script.py:16-74``) and its JSON-dict
+override ergonomics (factory defaults deep-merged under CLI JSON,
+script.py:100-108)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+
+@dataclasses.dataclass
+class MBPOConfig:
+    # ---- logging & evaluation (script.py:18-24)
+    project: Optional[str] = None
+    name: Optional[str] = None
+    run_dir: str = "runs/mbpo"
+    use_wandb: bool = False
+    agent_eval_freq: int = 50
+    num_eval_episodes: int = 10
+    status_report_freq: int = 5
+    logging_freq: int = 10
+
+    # ---- general (script.py:27-29)
+    total_timesteps: int = 1_000_000
+    seed: int = 0
+
+    # ---- simulation env & rollouts (script.py:32-36)
+    env_id: str = "KuramotoSivashinskyEnv-v0"
+    env_config: Dict = dataclasses.field(default_factory=dict)
+    num_envs: int = 10  # reference --cpus (one subprocess each; here a batch axis)
+    gamma: float = 0.99
+    capacity: int = 1_000_000
+    rollout_length: int = 1
+    pool_size: int = 256  # amortised-reset pool (TPU-native addition)
+
+    # ---- MBPO (script.py:39-46)
+    learning_starts: int = 20_000
+    policy_train_steps_per_sample: int = 5
+    model_buffer_store_iterations: int = 30
+    model_rollouts_per_sample: int = 100
+    model_rollouts_batch_size: int = 100
+    model_buffer_max_capacity: int = 1_000_000
+    val_split_ratio: float = 0.1
+    rollout_length_schedule: Dict = dataclasses.field(default_factory=dict)
+
+    # ---- surrogate training (script.py:49-57)
+    surrogate_train_freq: int = 500
+    loss: str = "MSELoss"
+    factory: str = "KSAutoRegConvolutionalLSTM"
+    model: Dict = dataclasses.field(default_factory=dict)
+    surrogate: Dict = dataclasses.field(default_factory=dict)
+    training: Dict = dataclasses.field(default_factory=dict)
+    curriculum: Dict = dataclasses.field(default_factory=dict)
+    trainer: Dict = dataclasses.field(default_factory=dict)
+
+    # ---- ensemble (script.py:60-61)
+    num_dynamics_models: int = 3
+    num_elite_models: int = 3
+
+    # ---- SAC (script.py:64-72)
+    policy: str = "Gaussian"
+    policy_batch_size: int = 256
+    sac_tau: float = 0.005
+    target_entropy: float = -3.0
+    lr: float = 3e-4
+    alpha: float = 0.2
+    target_update_interval: int = 1
+    hidden_size: int = 256
+    automatic_entropy_tuning: bool = False
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    def merged_with_factory_defaults(self, defaults: Dict) -> "MBPOConfig":
+        """Factory defaults under CLI JSON overrides (script.py:100-108)."""
+        out = dataclasses.replace(self)
+        for field in ("model", "surrogate", "training", "curriculum", "trainer"):
+            out_field = {**defaults.get(field, {}), **getattr(self, field)}
+            setattr(out, field, out_field)
+        return out

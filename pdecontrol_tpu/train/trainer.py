@@ -179,8 +179,9 @@ class SurrogateTrainer:
 
     # ------------------------------------------------- jitted epoch plumbing
     def _train_batch_fn(self, length: int):
-        if length not in self._train_jit:
-            cfg = self.config
+        cfg = self.config
+        key_ = (length, cfg.tau, cfg.tbtt, cfg.batch_size)
+        if key_ not in self._train_jit:
 
             @jax.jit
             def run(state, replay, rows_mask, und, stransf, lr, key):
@@ -190,12 +191,13 @@ class SurrogateTrainer:
                 batch = stransf(batch)
                 return self.train_step(state, batch.obs, batch.actions, und, lr)
 
-            self._train_jit[length] = run
-        return self._train_jit[length]
+            self._train_jit[key_] = run
+        return self._train_jit[key_]
 
     def _val_batch_fn(self, length: int):
-        if length not in self._val_jit:
-            cfg = self.config
+        cfg = self.config
+        key_ = (length, cfg.tau, cfg.batch_size)
+        if key_ not in self._val_jit:
 
             @jax.jit
             def run(params, replay, rows_mask, und, stransf, key):
@@ -205,8 +207,8 @@ class SurrogateTrainer:
                 batch = stransf(batch)
                 return self.val_step(params, batch.obs, batch.actions, und, stransf)
 
-            self._val_jit[length] = run
-        return self._val_jit[length]
+            self._val_jit[key_] = run
+        return self._val_jit[key_]
 
     # ------------------------------------------------------------------- fit
     def fit(
