@@ -20,6 +20,8 @@ class MBPOConfig:
     num_eval_episodes: int = 10
     status_report_freq: int = 5
     logging_freq: int = 10
+    checkpoint_freq: int = 0  # iterations between snapshots (0 = off)
+    resume: bool = False
 
     # ---- general (script.py:27-29)
     total_timesteps: int = 1_000_000

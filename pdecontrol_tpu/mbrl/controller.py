@@ -183,6 +183,19 @@ class PDEModelBasedController:
         self._sur_eval_jit = None
         self._start_time = time.time()
 
+        # Checkpoint / resume (a subsystem the reference lacks; SURVEY §5).
+        self.ckpt = None
+        if cfg.checkpoint_freq or cfg.resume:
+            from pdecontrol_tpu.utils.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(f"{cfg.run_dir}/checkpoints")
+            if cfg.resume and self.ckpt.latest_step() is not None:
+                from pdecontrol_tpu.utils import checkpoint as C
+
+                state = self.ckpt.restore(C.controller_state(self))
+                C.load_controller_state(self, state)
+                print(f"[resume] restored iteration {self.iteration}")
+
     # ------------------------------------------------------------- plumbing
     def _world_action_shape(self):
         n_world = self.env.n // self.tr.world_sensor.stride
@@ -560,3 +573,16 @@ class PDEModelBasedController:
 
             if self.iteration % cfg.status_report_freq == 0:
                 print(self.logger.table(STATUS_HEADERS), flush=True)
+
+            if self.ckpt is not None and cfg.checkpoint_freq and (
+                self.iteration % cfg.checkpoint_freq == 0
+            ):
+                self.save_checkpoint()
+
+        if self.ckpt is not None and cfg.checkpoint_freq:
+            self.save_checkpoint()
+
+    def save_checkpoint(self) -> None:
+        from pdecontrol_tpu.utils import checkpoint as C
+
+        self.ckpt.save(self.iteration, C.controller_state(self))

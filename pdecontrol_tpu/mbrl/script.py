@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_eval_episodes", type=int, default=10)
     p.add_argument("--status_report_freq", type=int, default=5)
     p.add_argument("--logging_freq", type=int, default=10)
+    p.add_argument("--checkpoint_freq", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     # General
     p.add_argument("--total_timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -106,6 +108,8 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         num_eval_episodes=args.num_eval_episodes,
         status_report_freq=args.status_report_freq,
         logging_freq=args.logging_freq,
+        checkpoint_freq=args.checkpoint_freq,
+        resume=args.resume,
         total_timesteps=args.total_timesteps,
         seed=args.seed,
         env_id=args.env_id,

@@ -1,0 +1,77 @@
+"""Checkpoint / resume subsystem (orbax).
+
+The reference can only persist an offline surrogate state_dict
+(``evaluate.py:210-214``); its MBRL loop cannot resume (SURVEY §5).  Here the
+*entire* training state — ensemble params + optimizer states, SAC state,
+running transforms, replay buffers, env/world state, RNG key and host
+counters — is one pytree snapshot, so a 50k-step run survives preemption.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self.manager.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def controller_state(ctl) -> Dict[str, Any]:
+    """Snapshot pytree of a PDEModelBasedController."""
+    return {
+        "ensemble": ctl.ensemble,
+        "member_states": list(ctl.member_states),
+        "sac_state": ctl.sac_state,
+        "transforms": ctl.tr,
+        "replay": ctl.replay,
+        "world_replay": ctl.world_replay,
+        "env_state": ctl.env_state,
+        "pool": ctl.pool,
+        "key": ctl.key,
+        "counters": {
+            "iteration": np.asarray(ctl.iteration),
+            "num_ensemble_updates": np.asarray(ctl.num_ensemble_updates),
+            "num_pol_updates": np.asarray(ctl.num_pol_updates),
+        },
+    }
+
+
+def load_controller_state(ctl, state: Dict[str, Any]) -> None:
+    """Restore a snapshot into a freshly constructed controller."""
+    ctl.ensemble = state["ensemble"]
+    ctl.member_states = list(state["member_states"])
+    ctl.sac_state = state["sac_state"]
+    ctl.tr = state["transforms"]
+    ctl.replay = state["replay"]
+    ctl.world_replay = state["world_replay"]
+    ctl.env_state = state["env_state"]
+    ctl.pool = state["pool"]
+    ctl.key = state["key"]
+    ctl.iteration = int(state["counters"]["iteration"])
+    ctl.num_ensemble_updates = int(state["counters"]["num_ensemble_updates"])
+    ctl.num_pol_updates = int(state["counters"]["num_pol_updates"])

@@ -1,0 +1,81 @@
+"""Offline generate/evaluate pipeline tests (tiny configs)."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_generate_and_evaluate(tmp_path):
+    from pdecontrol_tpu.evaluation.generate import generate
+
+    data = generate(
+        "KuramotoSivashinskyEnv-v0",
+        episodes=6,
+        config={"n": 16, "cfg_steps": 5, "t_max": 0.08},  # 16-step episodes
+        seed=0,
+    )
+    assert data["obs"].shape == (6, 16, 1, 16)
+    assert data["truncated"][:, -1].all()
+    assert not data["truncated"][:, :-1].any()
+    # nxtobs consistency: obs[t+1] == nxtobs[t] within an episode.
+    np.testing.assert_allclose(data["obs"][:, 1:], data["nxtobs"][:, :-1],
+                               rtol=1e-5)
+
+    path = tmp_path / "data.npz"
+    np.savez_compressed(path, **data)
+
+    from pdecontrol_tpu.evaluation.evaluate import build_parser, main
+
+    out = tmp_path / "eval_out"
+    rc = main([
+        "--env_id", "KuramotoSivashinskyEnv-v0",
+        "--env_config", json.dumps({"n": 16, "cfg_steps": 5, "t_max": 0.08}),
+        "--data", str(path),
+        "--factory", "KSAutoRegConvolutionalLSTM",
+        "--target_length", "4",
+        "--splits", "3",
+        "--max_folds", "1",
+        "--training", json.dumps({"tau": 2, "tbtt": 1000000, "batch_size": 4,
+                                  "patience": 2, "max_epochs": 3}),
+        "--output", str(out),
+        "--store",
+    ])
+    assert rc == 0
+    summary = json.load(open(out / "summary.json"))
+    assert len(summary) == 1
+    assert np.isfinite(summary[0]["MSE"])
+    assert np.isfinite(summary[0]["val_loss"])
+
+    fold = np.load(out / "fold0_metrics.npz")
+    assert fold["nrmse"].shape == (6,)  # tau + target_length
+    assert "l2_loss_derivs-derivative-0" in fold
+    assert os.path.exists(out / "fold0_model.pkl")
+
+
+def test_metric_battery_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from pdecontrol_tpu.data.types import Sample
+    from pdecontrol_tpu.envs.kuramoto import KuramotoSivashinsky
+    from pdecontrol_tpu.envs.transforms import Identity, SampleTransform
+    from pdecontrol_tpu.models import factories
+    from pdecontrol_tpu.train.metrics import surrogate_metric_battery
+
+    env = KuramotoSivashinsky.create(n=16, cfg_steps=5, dtype=jnp.float64)
+    model = factories.make("KSAutoRegConvolutionalLSTM", delta=env.delta, N=16)
+    key = jax.random.PRNGKey(0)
+    states = jax.random.normal(key, (3, 7, 1, 16), jnp.float32)
+    actions = jax.random.uniform(key, (3, 7, 1, 4), dtype=jnp.float32)
+    params = model.init(key, states[:, :2], actions)["params"]
+
+    batch = Sample(obs=states, actions=actions)
+    m = surrogate_metric_battery(
+        model, params, batch, SampleTransform(), Identity(), env, tau=2
+    )
+    assert m["MSE"].shape == ()
+    assert m["l2_loss"].shape == (7,)
+    assert m["nrmse_rews"].shape == (7,)
+    assert m["l1_loss_derivs-derivative-2"].shape == (7,)
+    assert np.isfinite(np.asarray(m["MSE"]))
