@@ -1,9 +1,12 @@
-"""Multi-chip dry run: one sharded step of the training pipeline on tiny shapes.
+"""Multi-chip dry run: ONE sharded step of the FULL training pipeline on
+tiny shapes.
 
-Used by ``__graft_entry__.dryrun_multichip`` and the CPU-mesh tests.  Round-1
-scope: vectorised env collection sharded over the ``data`` axis.  Extended to
-the full MBRL composite (surrogate grad step over ensemble ``model`` axis +
-SAC update) as those stages land.
+Used by ``__graft_entry__.dryrun_multichip`` and the CPU-mesh tests.  The
+mesh is ``(data, model)``; the step exercises all three sharded hot paths —
+vectorised env collection (env batch over ``data``), a vmapped gradient step
+for the whole surrogate ensemble (members over ``model``, batches over
+``data``), and a SAC update (batch over ``data``, replicated params with the
+gradient all-reduce inserted by the partitioner).
 """
 
 from __future__ import annotations
@@ -12,30 +15,80 @@ import jax
 import jax.numpy as jnp
 
 from pdecontrol_tpu.parallel import mesh as meshlib
+from pdecontrol_tpu.parallel.sharded import (
+    sharded_collect_fn,
+    sharded_ensemble_train_fn,
+    sharded_sac_update_fn,
+)
 
 
 def run(n_devices: int) -> None:
-    mesh = meshlib.make_mesh(n_devices)
-    data = meshlib.data_sharding(mesh)
+    model_parallel = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = meshlib.make_mesh(n_devices, model_parallel=model_parallel)
+    data_size = n_devices // model_parallel
 
+    from pdecontrol_tpu.data.types import Sample
     from pdecontrol_tpu.envs.kuramoto import KuramotoSivashinsky
-
-    # Tiny shapes: small grid, few sub-steps, batch divisible by the mesh.
-    env = KuramotoSivashinsky.create(n=16, cfg_steps=4, dtype=jnp.float32)
-    batch = 2 * n_devices
+    from pdecontrol_tpu.envs.transforms import Identity
+    from pdecontrol_tpu.models import factories
+    from pdecontrol_tpu.sac.sac import SAC, SACConfig
+    from pdecontrol_tpu.train.losses import mse_loss
+    from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig
 
     key = jax.random.PRNGKey(0)
+    env = KuramotoSivashinsky.create(n=16, cfg_steps=4, dtype=jnp.float32)
+    batch = 2 * data_size
+    members = 2 * model_parallel
+
+    # ---- 1. sharded env collection -------------------------------------
     pool = jax.random.uniform(key, (8, env.n), minval=-0.4, maxval=0.4)
     state = env.reset_from_pool(key, pool, batch_shape=(batch,))
-    state = state.replace(u=jax.device_put(state.u, data))
-
-    @jax.jit
-    def collect(state, actions, pool):
-        state, out = env.vec_step(state, actions, pool)
-        return state, out.reward
-
-    actions = jax.device_put(jnp.zeros((batch, 1, 4)), data)
+    actions = jnp.zeros((3, batch, 1, 4))
+    collect, place_c = sharded_collect_fn(mesh, env, nsteps=3)
+    state, actions, pool = place_c(state, actions, pool)
     state, rewards = collect(state, actions, pool)
     jax.block_until_ready(rewards)
-    assert rewards.shape == (batch,)
-    print(f"[dryrun] env collect OK on {n_devices} devices: rewards {rewards.shape}")
+    assert rewards.shape == (3, batch)
+    print(f"[dryrun] env collect OK on {n_devices} devices "
+          f"(data={data_size}, model={model_parallel})")
+
+    # ---- 2. vmapped + sharded ensemble gradient step -------------------
+    module = factories.make("KSAutoRegConvolutionalLSTM", delta=env.delta,
+                            N=env.n)
+    trainer = SurrogateTrainer(module, mse_loss,
+                               TrainConfig(tau=2, tbtt=3, batch_size=batch))
+    tw, t = 2, 5
+    ex_s = jnp.zeros((1, tw, 1, env.n))
+    ex_a = jnp.zeros((1, t, 1, env.n))
+    stacked = jax.vmap(
+        lambda k: trainer.init(k, ex_s, ex_a)
+    )(jax.random.split(key, members))
+
+    bs = jax.random.normal(key, (members, batch, t, 1, env.n))
+    ba = jax.random.uniform(key, (members, batch, t, 1, env.n))
+    train, place_t = sharded_ensemble_train_fn(mesh, trainer)
+    stacked, bs, ba = place_t(stacked, bs, ba)
+    stacked, metrics = train(stacked, bs, ba, Identity(), jnp.asarray(1e-3))
+    jax.block_until_ready(metrics["train_loss"])
+    assert metrics["train_loss"].shape == (members,)
+    print(f"[dryrun] ensemble train step OK ({members} members sharded "
+          f"over model axis)")
+
+    # ---- 3. sharded SAC update -----------------------------------------
+    sac = SAC((1, env.n), (1, 4), SACConfig())
+    sac_state = sac.init(key)
+    sbatch = Sample(
+        obs=jax.random.normal(key, (batch * 4, 1, env.n)),
+        actions=jax.random.uniform(key, (batch * 4, 1, 4), minval=-1, maxval=1),
+        nxtobs=jax.random.normal(key, (batch * 4, 1, env.n)),
+        rewards=jax.random.normal(key, (batch * 4,)),
+        terminated=jnp.zeros((batch * 4,), bool),
+        truncated=jnp.zeros((batch * 4,), bool),
+        steps=jnp.zeros((batch * 4,), jnp.int32),
+    )
+    update, place_s = sharded_sac_update_fn(mesh, sac)
+    sac_state, sbatch = place_s(sac_state, sbatch)
+    sac_state, m = update(sac_state, sbatch, key)
+    jax.block_until_ready(m["qf_loss"])
+    print(f"[dryrun] SAC update OK (qf_loss={float(m['qf_loss']):.4f})")
+    print(f"[dryrun] full training step validated on {n_devices}-device mesh")
