@@ -500,14 +500,47 @@ class PDEModelBasedController:
                 err = jnp.mean(
                     (outputs[:, tau:] - batch.obs[:, tau:]) ** 2
                 )
-                return err
+                hstep = jnp.mean(
+                    (outputs - batch.obs) ** 2, axis=(0, 2, 3)
+                )
+                return err, hstep, batch.obs[0], outputs[0], batch.actions[0]
 
             self._sur_eval_jit = run
         self.key, k = jax.random.split(self.key)
         if int(jax.device_get(self.replay.ncomplete)) == 0:
             return {}
-        err = self._sur_eval_jit(k, self.ensemble, self.replay, self.tr)
+        err, hstep, truth, pred, acts = self._sur_eval_jit(
+            k, self.ensemble, self.replay, self.tr
+        )
+        self._save_plots(truth, pred, acts, hstep)
         return {"surrogate_open_loop_mse": float(err)}
+
+    def _save_plots(self, truth, pred, acts, hstep) -> None:
+        """wandb-callback analogue: persist open-loop comparison plots
+        (reference VisPDECallback / evaluate_surrogate pdeplot,
+        mbrl.py:519-527)."""
+        if self.config.logging_freq <= 0:
+            return
+        try:
+            import os
+
+            from pdecontrol_tpu.viz import plots
+
+            d = os.path.join(self.config.run_dir, "plots")
+            os.makedirs(d, exist_ok=True)
+            img = plots.pdeplot(jax.device_get(truth), jax.device_get(pred),
+                                jax.device_get(acts))
+            img.save(os.path.join(d, f"surrogate_iter{self.iteration}.png"))
+            plots.hstepplot(jax.device_get(hstep)).save(
+                os.path.join(d, f"hstep_iter{self.iteration}.png")
+            )
+            if self.logger.wandb is not None:
+                self.logger.wandb.log(
+                    {"surrogate_open_loop": self.logger.wandb.Image(img)},
+                    commit=False,
+                )
+        except Exception:  # plotting must never kill training
+            pass
 
     # ------------------------------------------------------------------ main
     def learn(self) -> None:
