@@ -234,3 +234,30 @@ def test_reset_pool_statistics():
     # L=22 KS attractor has O(1) RMS amplitude; transients from U(-0.4, 0.4)
     # must have left the near-zero unstable equilibrium.
     assert (rms > 0.3).all() and (rms < 5.0).all()
+
+
+def test_native_cc_solver_matches_scipy_oracle():
+    """The C++ integrator (independent implementation) matches the
+    scipy-based oracle at float64 over a control period."""
+    from pdecontrol_tpu.utils import native
+
+    oracle = KSOracle()
+    u = _field(9)
+    phi = 0.2 * np.sin(2 * np.pi * np.arange(64) / 64)
+
+    got = native.ks_rhs(u, phi, oracle.dx)
+    expected, _ = oracle.rhs(u, phi)
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+    got_u, got_r = native.ks_control_period(u, phi, oracle.dx, 1e-3, 250)
+    exp_u, exp_r = oracle.control_period(u, phi)
+    np.testing.assert_allclose(got_u, exp_u, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(got_r, exp_r, rtol=1e-9)
+
+    # dissipation objective too
+    oracle_d = KSOracle(objective="")
+    _, got_rd = native.ks_control_period(u, phi, oracle.dx, 1e-3, 50,
+                                         objective="dissipation")
+    oracle_d.cfg_steps = 50
+    _, exp_rd = oracle_d.control_period(u, phi)
+    np.testing.assert_allclose(got_rd, exp_rd, rtol=1e-9)
