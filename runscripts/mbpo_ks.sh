@@ -1,6 +1,7 @@
 #!/bin/bash
 # ECC'24 MBRL experiment (reference README.md:33-46 configuration).
 set -e
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}"
 cd "$(dirname "$0")/.."
 
 python -m pdecontrol_tpu.mbrl.script \

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Offline surrogate data-budget sweep (reference runscripts/offline.sh).
 set -e
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}"
 cd "$(dirname "$0")/.."
 
 ENV="KuramotoSivashinskyEnv-v0"
