@@ -34,7 +34,6 @@ def build_parser():
 
 def generate(env_id: str, episodes: int, config: dict, seed: int = 0):
     import jax
-    import jax.numpy as jnp
 
     from pdecontrol_tpu.mbrl.controller import ENVS
 

@@ -9,7 +9,6 @@ call signature as the SAC agent so workers are agent-agnostic.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import math
 import time
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

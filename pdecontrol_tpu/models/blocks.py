@@ -12,7 +12,7 @@ NWC (``[B, H, C]``), the TPU-preferred layout.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pdecontrol_tpu.ops.kuramoto import DISSIPATION, L2CONTROL, KSOperators
+from pdecontrol_tpu.ops.kuramoto import L2CONTROL, KSOperators
 
 Array = jax.Array
 

@@ -17,10 +17,7 @@ and are the composition points for real multi-chip runs.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pdecontrol_tpu.parallel import mesh as meshlib

@@ -27,7 +27,6 @@ Reference mapping:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
