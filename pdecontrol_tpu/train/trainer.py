@@ -245,10 +245,12 @@ class SurrogateTrainer:
         logs: Dict[str, float] = {}
         epoch = 0
         stop = False
+        steps_taken = 0  # host-side mirror of global_step (avoids per-batch
+        # device syncs; the array counter remains authoritative in the state)
 
         while not stop and epoch < max_epochs:
             k = int(curriculum(iteration=iteration, epoch=epoch,
-                               step=int(jax.device_get(state.global_step))))
+                               step=start_step + steps_taken))
             length = cfg.tau + k
             lr = cfg.lr * (cfg.lr_gamma ** (epoch // cfg.step_size))
 
@@ -259,13 +261,13 @@ class SurrogateTrainer:
 
             run = self._train_batch_fn(length)
             for b in range(nb):
-                steps_taken = int(jax.device_get(state.global_step)) - start_step
                 if max_steps and steps_taken >= max_steps:
                     stop = True
                     break
                 key, kb = jax.random.split(key)
                 state, tm = run(state, replay, train_mask, und, stransf,
                                 jnp.asarray(lr), kb)
+                steps_taken += 1
 
             key, kv = jax.random.split(key)
             vm = self._val_batch_fn(length)(
@@ -283,7 +285,6 @@ class SurrogateTrainer:
 
             # Lightning-style EarlyStopping on "Val. Loss" (mbrl.py:351-354),
             # gated by the min-steps window (mbrl.py:379-380).
-            steps_taken = int(jax.device_get(state.global_step)) - start_step
             if val_loss < best:
                 best, wait = val_loss, 0
             else:
@@ -294,5 +295,5 @@ class SurrogateTrainer:
                 stop = True
             epoch += 1
 
-        logs["steps"] = int(jax.device_get(state.global_step)) - start_step
+        logs["steps"] = steps_taken
         return state, val_loss, logs
