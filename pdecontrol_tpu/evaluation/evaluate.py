@@ -119,20 +119,22 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
     act_train = flat(data["actions"][train_idx])
     nxt_train = flat(data["nxtobs"][train_idx])
 
-    oscaling = Normalize.create(obs_train.shape, aggregate=True, batched=False)
+    # Reference fits scalar stats: aggregate+batched pools all axes
+    # of the flat [N, C, H] arrays (evaluate.py:86-90).
+    oscaling = Normalize.create(obs_train.shape, aggregate=True, batched=True)
     oscaling = oscaling.update(obs_train)
 
     forcing = env.forcing
     if args.untransformed:
-        ascaling = Normalize.create(act_train.shape, aggregate=True).update(act_train)
+        ascaling = Normalize.create(act_train.shape, aggregate=True, batched=True).update(act_train)
         atransf = ascaling
     else:
         fields = forcing.apply(act_train)
-        pdescaling = Normalize.create(fields.shape, aggregate=True).update(fields)
+        pdescaling = Normalize.create(fields.shape, aggregate=True, batched=True).update(fields)
         atransf = Chain(transforms=(forcing, pdescaling))
 
     deltas = (oscaling.apply(nxt_train) - oscaling.apply(obs_train)) / delta
-    undscaling = Normalize.create(deltas.shape, aggregate=True).update(deltas)
+    undscaling = Normalize.create(deltas.shape, aggregate=True, batched=True).update(deltas)
 
     stransf = SampleTransform(otransf=oscaling, atransf=atransf)
 
