@@ -59,6 +59,9 @@ class MBPOConfig:
     # ---- ensemble (script.py:60-61)
     num_dynamics_models: int = 3
     num_elite_models: int = 3
+    vmap_ensemble_training: bool = True  # train all members in one vmapped
+    # program (per-member early-stop masks); False = sequential per-member
+    # fits as in the reference
 
     # ---- SAC (script.py:64-72)
     policy: str = "Gaussian"

@@ -316,18 +316,35 @@ class PDEModelBasedController:
         val_mask = jnp.zeros((self.replay.num_rows,), bool).at[val_rows].set(True)
 
         scores, logs = [], {}
-        for m in range(cfg.num_dynamics_models):
+        if cfg.vmap_ensemble_training:
+            # All members advance in one vmapped program (ensemble
+            # parallelism; per-member early stopping preserved by masking).
             self.key, k = jax.random.split(self.key)
-            state, val_loss, mlogs = self.trainer.fit(
-                self.member_states[m], self.replay, train_mask, val_mask,
+            stacked_states, val_losses, logs = self.trainer.fit_ensemble(
+                self.member_states, self.replay, train_mask, val_mask,
                 self.tr.undscaling, self.tr.replay_to_world, self.curriculum,
                 self.iteration, k,
                 min_steps=tc.min_steps, max_steps=tc.max_steps,
                 patience=tc.patience,
             )
-            self.member_states[m] = state
-            scores.append(val_loss)
-            logs = mlogs
+            self.member_states = [
+                jax.tree.map(lambda x: x[m], stacked_states)
+                for m in range(cfg.num_dynamics_models)
+            ]
+            scores = [float(v) for v in val_losses]
+        else:
+            for m in range(cfg.num_dynamics_models):
+                self.key, k = jax.random.split(self.key)
+                state, val_loss, mlogs = self.trainer.fit(
+                    self.member_states[m], self.replay, train_mask, val_mask,
+                    self.tr.undscaling, self.tr.replay_to_world,
+                    self.curriculum, self.iteration, k,
+                    min_steps=tc.min_steps, max_steps=tc.max_steps,
+                    patience=tc.patience,
+                )
+                self.member_states[m] = state
+                scores.append(val_loss)
+                logs = mlogs
         # Write member params back into the stacked ensemble + elites.
         stacked = jax.tree.map(
             lambda *leaves: jnp.stack(leaves),

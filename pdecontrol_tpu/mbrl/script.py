@@ -85,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     # Ensemble
     p.add_argument("--num_dynamics_models", type=int, default=3)
     p.add_argument("--num_elite_models", type=int, default=3)
+    p.add_argument("--sequential_member_training", action="store_true")
     # SAC
     p.add_argument("--policy", type=str, default="Gaussian")
     p.add_argument("--policy_batch_size", type=int, default=256)
@@ -137,6 +138,7 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         trainer=json.loads(args.trainer),
         num_dynamics_models=args.num_dynamics_models,
         num_elite_models=args.num_elite_models,
+        vmap_ensemble_training=not args.sequential_member_training,
         policy=args.policy,
         policy_batch_size=args.policy_batch_size,
         sac_tau=args.sac_tau,

@@ -297,3 +297,134 @@ class SurrogateTrainer:
 
         logs["steps"] = steps_taken
         return state, val_loss, logs
+
+    # ------------------------------------------------- vmapped ensemble fit
+    def _ensemble_batch_fns(self, length: int):
+        key_ = ("ens", length, self.config.tau, self.config.tbtt,
+                self.config.batch_size)
+        if key_ not in self._train_jit:
+            cfg = self.config
+
+            def one_train(state, replay, rows_mask, und, stransf, lr, key,
+                          active):
+                batch = R.sample_windows(replay, key, cfg.batch_size, length,
+                                         rows_mask)
+                batch = stransf(batch)
+                new_state, metrics = self.train_step(
+                    state, batch.obs, batch.actions, und, lr
+                )
+                # Early-stopped members freeze: keep the old state.
+                merged = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_state, state
+                )
+                return merged, metrics
+
+            def one_val(params, replay, rows_mask, und, stransf, key):
+                batch = R.sample_windows(replay, key, cfg.batch_size, length,
+                                         rows_mask)
+                batch = stransf(batch)
+                return self.val_step(params, batch.obs, batch.actions, und,
+                                     stransf)
+
+            train = jax.jit(jax.vmap(
+                one_train, in_axes=(0, None, None, None, None, None, 0, 0)
+            ))
+            val = jax.jit(jax.vmap(
+                one_val, in_axes=(0, None, None, None, None, 0)
+            ))
+            self._train_jit[key_] = (train, val)
+        return self._train_jit[key_]
+
+    def fit_ensemble(
+        self,
+        states,  # list[TrainerState] or stacked TrainerState (leading M axis)
+        replay: R.ReplayState,
+        train_mask: Array,
+        val_mask: Array,
+        und: Normalize,
+        stransf: SampleTransform,
+        curriculum,
+        iteration: int,
+        key: Array,
+        min_steps: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        patience: Optional[int] = None,
+        max_epochs: Optional[int] = None,
+    ):
+        """Train ALL ensemble members in lock-step with per-member early
+        stopping masks — the vmapped re-design of the reference's sequential
+        per-member ``trainer.fit`` loop (mbrl.py:408).  Each member draws its
+        own batches (independent PRNG streams, the bootstrap-resampling
+        analogue); a member that trips early stopping freezes while the rest
+        continue, preserving per-member stopping semantics.
+
+        Returns (stacked TrainerState, per-member val losses, logs).
+        """
+        cfg = self.config
+        min_steps = cfg.min_steps if min_steps is None else min_steps
+        max_steps = cfg.max_steps if max_steps is None else max_steps
+        patience = cfg.patience if patience is None else patience
+        max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
+
+        if isinstance(states, list):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        else:
+            stacked = states
+        m = int(jax.tree.leaves(stacked.params)[0].shape[0])
+
+        fill = np.asarray(jax.device_get(replay.fill))
+        train_np = np.asarray(jax.device_get(train_mask)).astype(bool)
+
+        best = np.full(m, np.inf)
+        wait = np.zeros(m, int)
+        stopped = np.zeros(m, bool)
+        val_losses = np.full(m, np.nan)
+        steps_taken = np.zeros(m, int)
+        epoch = 0
+        logs: Dict[str, float] = {}
+
+        while not stopped.all() and epoch < max_epochs:
+            k = int(curriculum(iteration=iteration, epoch=epoch,
+                               step=int(steps_taken.max())))
+            length = cfg.tau + k
+            lr = cfg.lr * (cfg.lr_gamma ** (epoch // cfg.step_size))
+            nwin = int(np.sum(np.maximum((fill[train_np] - length) // length + 1, 0)))
+            nb = max(nwin // cfg.batch_size, 1)
+
+            train, val = self._ensemble_batch_fns(length)
+            active = jnp.asarray(~stopped)
+            for b in range(nb):
+                if max_steps and steps_taken.max() >= max_steps:
+                    stopped[:] = True
+                    break
+                key, kb = jax.random.split(key)
+                member_keys = jax.random.split(kb, m)
+                stacked, tm = train(stacked, replay, train_mask, und, stransf,
+                                    jnp.asarray(lr), member_keys, active)
+                steps_taken[~stopped] += 1
+
+            key, kv = jax.random.split(key)
+            vm = val(stacked.params, replay, val_mask, und, stransf,
+                     jax.random.split(kv, m))
+            vl = np.asarray(jax.device_get(vm["val_loss"]))
+            val_losses = np.where(stopped, val_losses, vl)
+
+            improved = vl < best
+            wait = np.where(stopped | improved, np.where(improved, 0, wait),
+                            wait + 1)
+            best = np.minimum(best, np.where(stopped, best, vl))
+            newly = (~stopped) & (wait >= patience) & (steps_taken >= min_steps)
+            stopped |= newly
+            if max_steps and steps_taken.max() >= max_steps:
+                stopped[:] = True
+            epoch += 1
+            logs = {
+                "train_loss": float(jnp.mean(tm["train_loss"])),
+                "val_loss": float(np.mean(val_losses)),
+                "epochs": epoch,
+                "curriculum_K": k,
+                "lr": lr,
+            }
+
+        logs["steps"] = int(steps_taken.max())
+        return stacked, val_losses, logs

@@ -178,3 +178,35 @@ def test_burgers_phy_loss():
     out = loss(u)
     assert out.shape == (2, 5, 1, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fit_ensemble_vmapped():
+    """Vmapped multi-member fit: members learn, per-member early stopping,
+    and member params diverge (independent batch streams)."""
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    env, rep = _ks_replay(key, episodes=4, ep_len=16)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta, N=32)
+    cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, batch_size=8, patience=2,
+                      max_epochs=10, max_steps=30)
+    trainer = SurrogateTrainer(model, mse_loss, cfg)
+
+    states = [
+        trainer.init(jax.random.PRNGKey(i), jnp.zeros((1, 2, 1, 32)),
+                     jnp.zeros((1, 5, 1, 4)))
+        for i in range(3)
+    ]
+    mask = rep.fill > 0
+    stacked, val_losses, logs = trainer.fit_ensemble(
+        states, rep, mask, mask, Identity(), SampleTransform(),
+        ConstantLengthScheduler(length=3), iteration=0, key=key,
+    )
+    assert val_losses.shape == (3,)
+    assert np.isfinite(val_losses).all()
+    assert logs["steps"] > 0
+    p0 = jax.tree.leaves(jax.tree.map(lambda x: x[0], stacked.params))
+    p1 = jax.tree.leaves(jax.tree.map(lambda x: x[1], stacked.params))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(p0, p1)
+    )
