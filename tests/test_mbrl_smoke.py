@@ -85,3 +85,33 @@ def test_mbrl_burgers_smoke(tmp_path):
     ctl.learn()
     assert ctl.iteration == (24 - 8) // 2
     assert int(jax.device_get(ctl.replay.total_steps)) == 24
+
+
+def test_collect_scaling_semantics(tmp_path):
+    """The running obs scaling tightens exactly over everything observed
+    (update-then-apply ordering inside the jitted collect loop), and the
+    replay stores raw (pre-transform) observations."""
+    import jax.numpy as jnp
+
+    cfg = _tiny_config(tmp_path / "c")
+    ctl = PDEModelBasedController(cfg)
+    ctl.collect(6, random=True)
+
+    rep = ctl.replay
+    fill = np.asarray(jax.device_get(rep.fill))
+    valid = []
+    for r in np.where(fill > 0)[0]:
+        valid.append(np.asarray(rep.obs_seq[r, : fill[r] + 1]))
+    allobs = np.concatenate(valid)
+
+    vmax = float(np.asarray(jax.device_get(ctl.tr.oscaling.vmax)).squeeze())
+    vmin = float(np.asarray(jax.device_get(ctl.tr.oscaling.vmin)).squeeze())
+    # Bounds cover every stored raw obs (initial-reset obs included).
+    assert vmax >= allobs.max() - 1e-6
+    assert vmin <= allobs.min() + 1e-6
+    # Raw storage: magnitudes are physical (not scaled into [-1, 1]).
+    assert np.abs(allobs).max() > 0.0
+    world_obs = np.asarray(
+        jax.device_get(ctl.tr.raw_to_world_obs(jnp.asarray(allobs)))
+    )
+    assert world_obs.max() <= 1.0 + 1e-5 and world_obs.min() >= -1.0 - 1e-5
