@@ -88,6 +88,19 @@ def _make_dot(precision: str):
             y += jax.lax.dot_general(lo, w, dn, preferred_element_type=jnp.float32)
             return y
         return dot
+    if precision == "bf16_4x":
+        # Full two-limb product: adds the lo x lo term (~2^-21 relative,
+        # fp32-grade for this stencil), at 4/6 the passes of HIGHEST.
+        def dot(x, w, w_lo):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            y = jax.lax.dot_general(hi, w, dn, preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(hi, w_lo, dn, preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(lo, w, dn, preferred_element_type=jnp.float32)
+            y += jax.lax.dot_general(lo, w_lo, dn, preferred_element_type=jnp.float32)
+            return y
+        return dot
     raise ValueError(f"unknown precision {precision!r}")
 
 

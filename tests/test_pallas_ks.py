@@ -81,3 +81,24 @@ def test_packed_kernel_matches_xla():
     r_pack = (acc / 20).reshape(b)
     np.testing.assert_allclose(u_pack, np.asarray(u_ref), rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(r_pack, np.asarray(r_ref), rtol=2e-5, atol=2e-6)
+
+
+def test_packed_precision_limbs_consistent():
+    """bf16 limb splitting is exact: hi + lo == x in float32, and
+    W_hi + W_lo reconstructs W."""
+    ops = KSOperators.create(64, 22.0, dtype=jnp.float32)
+    from pdecontrol_tpu.ops import pallas_ks_packed as P
+
+    wl, wu = P.packed_matrices(ops)
+    for w in (wl, wu):
+        wj = jnp.asarray(w)
+        hi = wj.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = wj - hi
+        np.testing.assert_array_equal(np.asarray(hi + lo), np.asarray(wj))
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 128), jnp.float32)
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    # two-limb reconstruction error ~2^-17 relative
+    err = float(jnp.max(jnp.abs(hi + lo - x) / (jnp.abs(x) + 1e-9)))
+    assert err < 2**-15
