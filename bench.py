@@ -80,6 +80,40 @@ def bench_tpu(batch: int, iters: int = 10):
     return results
 
 
+def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 20) -> float:
+    """Secondary: surrogate TBPTT training steps/sec (BASELINE.md 'also
+    tracked') on the flagship conv-LSTM at the reference's tau/tbtt."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdecontrol_tpu.models import factories
+    from pdecontrol_tpu.train.losses import mse_loss
+    from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig
+
+    model = factories.make("KSAutoRegConvolutionalLSTM", delta=0.25)
+    trainer = SurrogateTrainer(model, mse_loss, TrainConfig(tau=5, tbtt=10,
+                                                            batch_size=batch))
+    key = jax.random.PRNGKey(0)
+    states = jax.random.normal(key, (batch, length, 1, 64), jnp.float32)
+    actions = jax.random.uniform(key, (batch, length, 1, 64),
+                                 dtype=jnp.float32, minval=-1, maxval=1)
+    tstate = trainer.init(key, states[:, :5], actions)
+
+    from pdecontrol_tpu.envs.transforms import Identity
+
+    step = jax.jit(
+        lambda st: trainer.train_step(st, states, actions, Identity(),
+                                      jnp.asarray(1e-3))[0]
+    )
+    tstate = step(tstate)
+    jax.block_until_ready(tstate.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tstate = step(tstate)
+    jax.block_until_ready(tstate.params)
+    return iters / (time.perf_counter() - t0)
+
+
 def bench_oracle(steps: int = 3) -> float:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracles import KSOracle
@@ -114,6 +148,13 @@ def main():
     for name, sps in sorted(results.items()):
         print(f"[bench] {name}: {sps:,.0f} agent_steps/s (B={batch})",
               file=sys.stderr)
+
+    try:
+        tbtt_sps = bench_tbtt()
+        print(f"[bench] surrogate TBPTT: {tbtt_sps:,.1f} train_steps/s "
+              f"(B=64, T=20, conv-LSTM)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] tbtt bench failed: {e}", file=sys.stderr)
 
     oracle_sps = bench_oracle()
     print(f"[bench] scipy oracle (reference-equivalent, 1 core): "
