@@ -39,7 +39,7 @@ class Burgers(struct.PyTreeNode):
     forcing: GaussianForcing
     length: float = struct.field(pytree_node=False, default=16.0)
     n: int = struct.field(pytree_node=False, default=64)
-    nu: float = struct.field(pytree_node=False, default=0.05)
+    nu: float = struct.field(pytree_node=False, default=0.25)
     cfg_steps: int = struct.field(pytree_node=False, default=250)
     t_max: float = struct.field(pytree_node=False, default=100.0)
     dt: float = struct.field(pytree_node=False, default=1e-3)
@@ -56,7 +56,7 @@ class Burgers(struct.PyTreeNode):
         cls,
         length: float = 16.0,
         n: int = 64,
-        nu: float = 0.05,
+        nu: float = 0.25,
         cfg_steps: int = 250,
         t_max: float = 100.0,
         dt: float = 1e-3,
@@ -67,9 +67,15 @@ class Burgers(struct.PyTreeNode):
         precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     ) -> "Burgers":
         xi_rel = (0.0, 0.25, 0.5, 0.75)
+        # Zero-mean jets: central-difference Burgers has no damping of the
+        # k=0 mode, so raw Gaussian jets inject unbounded mean momentum over
+        # a 100-time-unit episode; momentum-conserving actuation keeps the
+        # env well-posed for ANY policy.  nu=0.25 keeps the cell Reynolds
+        # number u*dx/nu <= ~2 at the attained amplitudes.
         return cls(
             ops=BurgersOperators.create(n, length, nu, dtype=dtype, precision=precision),
-            forcing=GaussianForcing.create(n, length, xi_rel, sigma, dtype=dtype),
+            forcing=GaussianForcing.create(n, length, xi_rel, sigma, dtype=dtype,
+                                           zero_mean=True),
             length=length,
             n=n,
             nu=nu,
@@ -152,7 +158,7 @@ class Burgers(struct.PyTreeNode):
         O(1)-amplitude fields on which the advective term matters)."""
         akey, pkey = jax.random.split(key)
         amps = jax.random.uniform(
-            akey, batch_shape + (self.ic_modes,), minval=-0.5, maxval=0.5
+            akey, batch_shape + (self.ic_modes,), minval=-0.25, maxval=0.25
         )
         phases = jax.random.uniform(
             pkey, batch_shape + (self.ic_modes,), minval=0.0, maxval=2.0 * np.pi

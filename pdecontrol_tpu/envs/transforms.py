@@ -268,11 +268,19 @@ class GaussianForcing(Transform):
         xi_rel: Sequence[float],
         sigma: float,
         dtype=jnp.float32,
+        zero_mean: bool = False,
     ) -> "GaussianForcing":
+        """``zero_mean=True`` subtracts each jet's spatial mean from its
+        column of the forcing matrix, making the actuation momentum-
+        conserving (used by the Burgers env for well-posedness under
+        sustained forcing; the KS env keeps the reference's raw jets).
+        The exact inverse is recomputed from the modified matrix."""
         from pdecontrol_tpu.ops.kuramoto import gaussian_forcing_matrix
 
         x = np.linspace(0.0, length - length / n, n, dtype=np.float64)
         mat = gaussian_forcing_matrix(x, np.asarray(xi_rel), sigma, length)
+        if zero_mean:
+            mat = mat - mat.mean(axis=1, keepdims=True)
         jet_idx = (n * np.asarray(xi_rel, dtype=np.float64)).astype(np.int64)
         inv = np.linalg.inv(mat[:, jet_idx])
         return cls(
