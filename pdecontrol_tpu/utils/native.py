@@ -23,10 +23,12 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True,
-    )
+    base = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:], check=True,
+                       capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True)
 
 
 def load() -> ctypes.CDLL:
