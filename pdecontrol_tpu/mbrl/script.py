@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu' for smoke runs); "
                         "must be applied before first backend use")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="crash on the first NaN produced by any jitted "
+                        "program (the reference's np.seterr(over='raise') "
+                        "tripwire, kuramoto.py:12)")
     # Logging & evaluation
     p.add_argument("--project", type=str, default=None)
     p.add_argument("--name", type=str, default=None)
@@ -155,10 +159,12 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     config = config_from_args(args)
 
     from pdecontrol_tpu.mbrl.controller import PDEModelBasedController

@@ -30,6 +30,7 @@ from pdecontrol_tpu.utils.logging import MetricsLogger
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--run_dir", type=str, default="runs/sac")
     p.add_argument("--env_id", type=str, default="KuramotoSivashinskyEnv-v0")
     p.add_argument("--env_config", type=str, default="{}")
@@ -224,6 +225,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     logger = MetricsLogger(args.run_dir, config=vars(args))
     trainer = SACTrainer(args)
     trainer.learn(logger)
