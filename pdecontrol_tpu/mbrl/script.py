@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="crash on the first NaN produced by any jitted "
                         "program (the reference's np.seterr(over='raise') "
-                        "tripwire, kuramoto.py:12)")
+                        "tripwire, kuramoto.py:12). NOTE: may false-positive "
+                        "on XLA-fused masked branches (jax_debug_nans "
+                        "limitation) — use for debugging, not production")
     # Logging & evaluation
     p.add_argument("--project", type=str, default=None)
     p.add_argument("--name", type=str, default=None)
