@@ -115,3 +115,13 @@ def test_collect_scaling_semantics(tmp_path):
         jax.device_get(ctl.tr.raw_to_world_obs(jnp.asarray(allobs)))
     )
     assert world_obs.max() <= 1.0 + 1e-5 and world_obs.min() >= -1.0 - 1e-5
+
+
+def test_sequential_member_training_path(tmp_path):
+    """The reference-style per-member sequential fits remain available
+    (--sequential_member_training) and run end-to-end."""
+    cfg = _tiny_config(tmp_path, total_timesteps=16, vmap_ensemble_training=False)
+    ctl = PDEModelBasedController(cfg)
+    ctl.learn()
+    assert ctl.num_ensemble_updates >= 1
+    assert int(jax.device_get(ctl.replay.total_steps)) == 16
