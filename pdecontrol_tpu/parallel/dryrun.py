@@ -11,6 +11,29 @@ gradient all-reduce inserted by the partitioner).
 
 from __future__ import annotations
 
+import os
+import sys
+
+
+def provision_virtual_devices(n_devices: int) -> None:
+    """Force a CPU backend with ``n_devices`` virtual devices.
+
+    Must run before first backend use.  This environment's sitecustomize
+    pre-imports jax and registers the single-chip ``axon`` TPU plugin, so
+    ``JAX_PLATFORMS`` env tweaks are too late — but backends initialise
+    lazily, so flipping the config flag (plus XLA_FLAGS, which XLA reads at
+    backend-init time) reliably selects an ``n_devices``-wide CPU mesh.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 import jax
 import jax.numpy as jnp
 
@@ -92,3 +115,9 @@ def run(n_devices: int) -> None:
     jax.block_until_ready(m["qf_loss"])
     print(f"[dryrun] SAC update OK (qf_loss={float(m['qf_loss']):.4f})")
     print(f"[dryrun] full training step validated on {n_devices}-device mesh")
+
+
+if __name__ == "__main__":
+    _n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    provision_virtual_devices(_n)
+    run(_n)
