@@ -133,12 +133,13 @@ def write_step(
         replay.next_row + jnp.sum(done.astype(jnp.int32))
     ).astype(jnp.int32)
 
-    # Wipe the fill/complete flags of newly claimed (recycled) rows.
-    claimed = new_rows % replay.num_rows
-    fill = replay.fill.at[claimed].set(jnp.where(done, 0, replay.fill[claimed]))
-    complete = replay.complete.at[claimed].set(
-        jnp.where(done, False, replay.complete[claimed])
-    )
+    # Wipe the fill/complete flags of newly claimed (recycled) rows.  Only
+    # done envs scatter: not-done envs are routed to an out-of-bounds index
+    # and dropped, so they can never collide with a freshly claimed row and
+    # resurrect its stale fill/complete (offsets gives them a real row id).
+    claimed = jnp.where(done, new_rows % replay.num_rows, replay.num_rows)
+    fill = replay.fill.at[claimed].set(0, mode="drop")
+    complete = replay.complete.at[claimed].set(False, mode="drop")
     return replay.replace(
         row_of_env=row_of_env, next_row=next_row, fill=fill, complete=complete
     )
@@ -167,6 +168,17 @@ def _row_weights(replay: ReplayState, length: int, rows_mask: Array = None) -> A
     if rows_mask is not None:
         w = w * rows_mask.astype(jnp.float32)
     return w
+
+
+def num_windows(replay: ReplayState, length: int, rows_mask: Array = None) -> Array:
+    """Total number of stride-1 windows available for ``sample_windows``.
+
+    Host-side guard for the degenerate all-zero-weights case (tiny replay or
+    an empty train mask): with zero total weight ``sample_windows`` would
+    silently draw uniform rows and gather all-zero windows.  Callers that fit
+    on sampled windows assert this is > 0 first.
+    """
+    return jnp.sum(_row_weights(replay, length, rows_mask)).astype(jnp.int32)
 
 
 def sample_windows(

@@ -151,11 +151,12 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
     trainer = SurrogateTrainer(module, loss_fn, tc)
 
     key = jax.random.PRNGKey(args.seed + fold)
+    key, kinit = jax.random.split(key)
     tau = tc.tau
     ex_s = jnp.zeros((1, tau) + obs_shape, jnp.float32)
     wa_shape = act_shape if args.untransformed else obs_shape
     ex_a = jnp.zeros((1, tau + 1) + wa_shape, jnp.float32)
-    tstate = trainer.init(key, ex_s, ex_a)
+    tstate = trainer.init(kinit, ex_s, ex_a)
 
     nrows = rep.num_rows
     train_mask = jnp.zeros((nrows,), bool).at[jnp.asarray(train_idx)].set(True)

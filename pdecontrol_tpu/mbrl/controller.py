@@ -310,8 +310,26 @@ class PDEModelBasedController:
         rows = np.where(fill > 0)[0]
         rng = np.random.default_rng(self.iteration)
         rng.shuffle(rows)
+        # The val split must be able to produce at least one window at the
+        # fit's starting length, else validation (and hence elite scores and
+        # early stopping) would silently run on all-zero gathers.  Short
+        # in-progress episodes stay in train, where the window-count weights
+        # already exclude them from sampling.
+        length0 = tc.tau + int(self.curriculum(iteration=self.iteration,
+                                               epoch=0, step=0))
+        ok = rows[fill[rows] >= length0]
+        short = rows[fill[rows] < length0]
+        if len(ok) == 0:
+            raise ValueError(
+                f"no episode long enough for a length-{length0} window "
+                f"(fills={fill[rows].tolist()})"
+            )
         n_val = max(int(len(rows) * cfg.val_split_ratio), 1)
-        val_rows, train_rows = rows[:n_val], rows[n_val:]
+        n_val = min(n_val, max(len(ok) - 1, 1))
+        val_rows = ok[:n_val]
+        train_rows = np.concatenate([ok[n_val:], short])
+        if len(train_rows) == 0:  # degenerate tiny-replay fallback
+            train_rows = val_rows
         train_mask = jnp.zeros((self.replay.num_rows,), bool).at[train_rows].set(True)
         val_mask = jnp.zeros((self.replay.num_rows,), bool).at[val_rows].set(True)
 

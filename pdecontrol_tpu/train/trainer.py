@@ -68,6 +68,20 @@ def tbtt_reencode_mask(t_total: int, tbtt: int) -> np.ndarray:
     return (idx >= tbtt) & (idx % tbtt == 0)
 
 
+def _check_windows(fill: np.ndarray, train_np: np.ndarray, val_np: np.ndarray,
+                   length: int) -> None:
+    """Guard the degenerate zero-weight sampling case: with no row holding a
+    length-``length`` window, ``R.sample_windows`` would silently draw
+    uniform rows and train/validate on all-zero gathers."""
+    for name, mask in (("train", train_np), ("val", val_np)):
+        if int(np.sum(np.maximum(fill[mask] - length + 1, 0))) == 0:
+            raise ValueError(
+                f"no length-{length} windows available in the {name} split "
+                f"(fill={fill[mask].tolist()}); replay too small or split "
+                "empty"
+            )
+
+
 class SurrogateTrainer:
     def __init__(
         self,
@@ -253,6 +267,7 @@ class SurrogateTrainer:
                                step=start_step + steps_taken))
             length = cfg.tau + k
             lr = cfg.lr * (cfg.lr_gamma ** (epoch // cfg.step_size))
+            _check_windows(fill, train_np, val_np, length)
 
             # Epoch size = non-overlapping window count over train episodes
             # (SubSeqDataset default stride == length, dataset.py:54-58).
@@ -374,6 +389,10 @@ class SurrogateTrainer:
 
         fill = np.asarray(jax.device_get(replay.fill))
         train_np = np.asarray(jax.device_get(train_mask)).astype(bool)
+        val_np = np.asarray(jax.device_get(val_mask)).astype(bool)
+        # Cumulative step basis so a steptype='step' curriculum advances
+        # across retrains (matches fit's start_step + steps_taken).
+        start_step = int(np.max(np.asarray(jax.device_get(stacked.global_step))))
 
         best = np.full(m, np.inf)
         wait = np.zeros(m, int)
@@ -385,9 +404,10 @@ class SurrogateTrainer:
 
         while not stopped.all() and epoch < max_epochs:
             k = int(curriculum(iteration=iteration, epoch=epoch,
-                               step=int(steps_taken.max())))
+                               step=start_step + int(steps_taken.max())))
             length = cfg.tau + k
             lr = cfg.lr * (cfg.lr_gamma ** (epoch // cfg.step_size))
+            _check_windows(fill, train_np, val_np, length)
             nwin = int(np.sum(np.maximum((fill[train_np] - length) // length + 1, 0)))
             nb = max(nwin // cfg.batch_size, 1)
 

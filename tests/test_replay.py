@@ -95,6 +95,35 @@ def test_starting_windows_left_padding():
     assert (np.diff(vals, axis=1) == 0).any()
 
 
+def test_partial_done_recycles_claimed_row():
+    """With per-env autoreset, a not-done env must never resurrect the stale
+    fill/complete of a row a done env just claimed (cumsum offsets give both
+    envs the same row index; only done envs may scatter)."""
+    rep = R.create(3, 2, 2, (1, 4), (1, 2))
+    # Simulate a stale evicted episode on the row about to be claimed.
+    rep = rep.replace(
+        fill=rep.fill.at[2].set(2),
+        complete=rep.complete.at[2].set(True),
+    )
+    obs = jnp.zeros((2, 1, 4))
+    rep = jax.jit(R.write_step)(
+        rep,
+        obs=obs,
+        actions=jnp.zeros((2, 1, 2)),
+        rewards=jnp.zeros((2,)),
+        terminated=jnp.zeros((2,), bool),
+        truncated=jnp.asarray([True, False]),
+        nxtobs=obs,
+        steps=jnp.ones((2,), jnp.int32),
+    )
+    # Env 0 finished and claimed row 2: its stale state must be wiped.
+    assert np.asarray(rep.row_of_env).tolist() == [2, 1]
+    assert int(rep.fill[2]) == 0
+    assert not bool(rep.complete[2])
+    # Env 1 keeps accumulating on its own row.
+    assert int(rep.fill[1]) == 1
+
+
 def test_transition_sampling_and_stats():
     ep_len, num_envs = 4, 2
     rep = R.create(8, ep_len, num_envs, (1, 4), (1, 2))

@@ -81,7 +81,10 @@ def _ks_replay(key, episodes=6, ep_len=24, n=32):
     env = KuramotoSivashinsky.create(n=n, length=22.0, cfg_steps=25,
                                      t_max=ep_len * 25 * 1e-3,
                                      dtype=jnp.float32)
-    rep = R.create(episodes + 2, ep_len, episodes, (1, n), (1, 4),
+    # 2x rows: every episode completes on the final write, so each env claims
+    # a fresh row — with fewer rows the ring wraps and wipes rows 0..3,
+    # leaving the train split silently empty (now a hard error in fit).
+    rep = R.create(2 * episodes + 2, ep_len, episodes, (1, n), (1, 4),
                    dtype=jnp.float32)
     pool = jax.random.uniform(key, (episodes, n), minval=-0.4, maxval=0.4,
                               dtype=jnp.float32)
@@ -135,11 +138,13 @@ def test_fit_learns_and_early_stops():
         tstate1, rep, train_mask, val_mask, und, stransf, sched,
         iteration=1, key=jax.random.PRNGKey(2), max_steps=300,
     )
-    # Training reduces the free-run validation loss vs the untrained model.
-    v0 = trainer._val_batch_fn(5)(
-        tstate.params, rep, val_mask, und, stransf, jax.random.PRNGKey(3)
-    )
-    assert val2 < float(v0["val_loss"]), (val2, float(v0["val_loss"]))
+    # Training reduces the free-run validation loss vs the untrained model,
+    # scored on the SAME val batch (fit's internal val draws use other keys).
+    vfn = trainer._val_batch_fn(5)
+    v0 = vfn(tstate.params, rep, val_mask, und, stransf, jax.random.PRNGKey(3))
+    v1 = vfn(tstate2.params, rep, val_mask, und, stransf, jax.random.PRNGKey(3))
+    assert float(v1["val_loss"]) < float(v0["val_loss"]), (
+        float(v1["val_loss"]), float(v0["val_loss"]))
 
 
 def test_fit_respects_max_steps():
