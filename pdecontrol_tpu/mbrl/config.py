@@ -18,14 +18,25 @@ class MBPOConfig:
     use_wandb: bool = False
     agent_eval_freq: int = 50
     num_eval_episodes: int = 10
+    surrogate_eval_horizon: int = 30  # open-loop eval steps (mbrl.py:474)
     status_report_freq: int = 5
     logging_freq: int = 10
     checkpoint_freq: int = 0  # iterations between snapshots (0 = off)
     resume: bool = False
+    profile_dir: Optional[str] = None  # capture a jax.profiler device trace
+    # of iteration 1 into this directory (TensorBoard/Perfetto viewable)
 
     # ---- general (script.py:27-29)
     total_timesteps: int = 1_000_000
     seed: int = 0
+
+    # ---- device mesh (TPU-native; replaces the reference's env subprocess
+    # pool, mbrl.py:81-86).  data_parallel shards env batches / training
+    # batches over the ``data`` mesh axis; model_parallel shards ensemble
+    # members over ``model``.  1x1 (default) bypasses the mesh entirely so
+    # single-chip behavior is bit-identical.
+    data_parallel: int = 1
+    model_parallel: int = 1
 
     # ---- simulation env & rollouts (script.py:32-36)
     env_id: str = "KuramotoSivashinskyEnv-v0"
@@ -35,6 +46,14 @@ class MBPOConfig:
     capacity: int = 1_000_000
     rollout_length: int = 1
     pool_size: int = 256  # amortised-reset pool (TPU-native addition)
+    # Sensor strides (reference setup_transforms, mbrl.py:170-175 — wired
+    # but fixed to 1 there; exposed here as the strided-observation
+    # ablation).  agent_stride subsamples the SAC agent's observations;
+    # world_stride subsamples the surrogate's world space (>1 is rejected by
+    # the controller: the world reward recomputation needs the inverse, which
+    # is undefined for strided sensors in the reference too).
+    agent_stride: int = 1
+    world_stride: int = 1
 
     # ---- MBPO (script.py:39-46)
     learning_starts: int = 20_000

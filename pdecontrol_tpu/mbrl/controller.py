@@ -20,6 +20,7 @@ Loop structure (reference ``learn``, mbrl.py:384-449):
 
 from __future__ import annotations
 
+import contextlib
 import math
 import time
 from typing import Dict, List, Optional
@@ -37,7 +38,6 @@ from pdecontrol_tpu.mbrl.world import WorldModel
 from pdecontrol_tpu.models import factories
 from pdecontrol_tpu.models.surrogate import (
     EnsembleState,
-    ensemble_rollout,
     init_ensemble,
     update_elites,
 )
@@ -45,6 +45,7 @@ from pdecontrol_tpu.sac.sac import SAC, SACConfig
 from pdecontrol_tpu.train.losses import make_loss
 from pdecontrol_tpu.train.schedulers import Scheduler
 from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig, TrainerState
+from pdecontrol_tpu.utils import profiling
 from pdecontrol_tpu.utils.logging import MetricsLogger
 
 Array = jax.Array
@@ -74,6 +75,37 @@ class PDEModelBasedController:
         self.env = env_cls.create(**cfg.env_config)
         self.key = jax.random.PRNGKey(cfg.seed)
 
+        # Device mesh: the TPU-native replacement for the reference's env
+        # subprocess pool (mbrl.py:81-86).  A 1x1 request bypasses the mesh
+        # so single-chip behavior (and results) are untouched.
+        self.mesh = None
+        if cfg.data_parallel * cfg.model_parallel > 1:
+            from pdecontrol_tpu.parallel import mesh as meshlib
+
+            n_dev = cfg.data_parallel * cfg.model_parallel
+            if len(jax.devices()) < n_dev:
+                raise ValueError(
+                    f"mesh {cfg.data_parallel}x{cfg.model_parallel} needs "
+                    f"{n_dev} devices, found {len(jax.devices())}"
+                )
+            for name, val, axis in (
+                ("num_envs", cfg.num_envs, cfg.data_parallel),
+                ("model_rollouts_batch_size", cfg.model_rollouts_batch_size,
+                 cfg.data_parallel),
+                ("policy_batch_size", cfg.policy_batch_size,
+                 cfg.data_parallel),
+                ("num_dynamics_models", cfg.num_dynamics_models,
+                 cfg.model_parallel),
+            ):
+                if val % axis != 0:
+                    raise ValueError(
+                        f"{name}={val} not divisible by its mesh axis "
+                        f"size {axis}"
+                    )
+            self.mesh = meshlib.make_mesh(
+                n_dev, model_parallel=cfg.model_parallel
+            )
+
         # Runtime accounting (mbrl.py:88-97).
         self.samples_per_iteration = cfg.num_envs * cfg.rollout_length
         self.num_pol_updates_per_iteration = int(
@@ -90,9 +122,34 @@ class PDEModelBasedController:
         self.curriculum = Scheduler.factory(cfg.curriculum)
 
         # Transforms + reset pool.
-        self.tr = ControllerTransforms.create(self.env, dtype=self.env.dtype)
+        if cfg.world_stride > 1:
+            raise ValueError(
+                "world_stride > 1 is not runnable: the world env recomputes "
+                "rewards through the inverse world sensor, which is undefined "
+                "for strided subsampling (reference SensorTransform._Inverse "
+                "raises NotImplementedError too, transforms.py:240-247)"
+            )
+        self.tr = ControllerTransforms.create(
+            self.env, agent_stride=cfg.agent_stride,
+            world_stride=cfg.world_stride, dtype=self.env.dtype,
+        )
         self.key, kpool = jax.random.split(self.key)
         self.pool = make_pool(self.env, kpool, cfg.pool_size)
+
+        # Space shapes downstream of the sensor strides, derived by tracing
+        # the transform paths on dummies (exact for any stride/offset).
+        dummy_obs = jnp.zeros((1,) + tuple(self.env.obs_shape), self.env.dtype)
+        dummy_act = jnp.zeros((1,) + tuple(self.env.action_shape),
+                              self.env.dtype)
+        self.world_obs_shape = tuple(
+            jax.eval_shape(self.tr.raw_to_world_obs, dummy_obs).shape[1:]
+        )
+        self.agent_obs_shape = tuple(
+            jax.eval_shape(self.tr.raw_to_agent_obs, dummy_obs).shape[1:]
+        )
+        self.world_action_shape = tuple(
+            jax.eval_shape(self.tr.env_action_to_world, dummy_act).shape[1:]
+        )
 
         # Surrogate ensemble + per-member trainers.
         delta = self.env.delta
@@ -103,21 +160,26 @@ class PDEModelBasedController:
         tau = cfg.training.get("tau", 5)
         self.tau = tau
 
-        ex_states = jnp.zeros((1, tau, *self.env.obs_shape), self.env.dtype)
+        ex_states = jnp.zeros((1, tau, *self.world_obs_shape), self.env.dtype)
         ex_actions = jnp.zeros(
-            (1, tau + 1, *self._world_action_shape()), self.env.dtype
+            (1, tau + 1, *self.world_action_shape), self.env.dtype
         )
         self.key, kens = jax.random.split(self.key)
         self.ensemble: EnsembleState = init_ensemble(
             self.module, kens, cfg.num_dynamics_models, ex_states, ex_actions,
             cfg.num_elite_models,
         )
+        # NOTE: ensemble params stay replicated on the mesh — the rollout
+        # path vmaps members into grouped convolutions, whose GSPMD
+        # member-axis partitioning miscompiles (see trainer/sharded.py);
+        # member-sharded EP happens inside fit_ensemble via shard_map.
         self.train_cfgs = {
             phase: self._phase_train_config(phase) for phase in ("initial", "iterations")
         }
         self.trainer = SurrogateTrainer(
             self.module, self.loss_fn, self.train_cfgs["initial"]
         )
+        self.trainer.mesh = self.mesh
         self.member_states: List[TrainerState] = [
             TrainerState(
                 params=jax.tree.map(lambda x: x[m], self.ensemble.params),
@@ -146,7 +208,7 @@ class PDEModelBasedController:
         w_rows = max(w_rows, cfg.model_rollouts_batch_size + 2)
         self.world_replay = R.create(
             w_rows, h_max + 2, cfg.model_rollouts_batch_size,
-            self.env.obs_shape, self.env.action_shape, self.env.dtype,
+            self.world_obs_shape, self.env.action_shape, self.env.dtype,
         )
 
         # SAC agent.
@@ -156,7 +218,7 @@ class PDEModelBasedController:
             target_update_interval=cfg.target_update_interval,
             automatic_entropy_tuning=cfg.automatic_entropy_tuning,
         )
-        self.sac = SAC(self.env.obs_shape, self.env.action_shape, sac_cfg,
+        self.sac = SAC(self.agent_obs_shape, self.env.action_shape, sac_cfg,
                        self.env.action_low, self.env.action_high)
         self.key, ksac = jax.random.split(self.key)
         self.sac_state = self.sac.init(ksac)
@@ -169,7 +231,9 @@ class PDEModelBasedController:
 
         # Env states (collect + eval).
         self.key, k1, k2 = jax.random.split(self.key, 3)
-        self.env_state = self.env.reset_from_pool(k1, self.pool, (cfg.num_envs,))
+        self.env_state = self._shard_env_state(
+            self.env.reset_from_pool(k1, self.pool, (cfg.num_envs,))
+        )
         # Initial reset updates the running obs scaling (vec_wrappers.py:181-184).
         self.tr = self.tr.replace(
             oscaling=self.tr.oscaling.update(self.env.observe(self.env_state))
@@ -179,8 +243,9 @@ class PDEModelBasedController:
         self._world_jit = {}
         self._policy_jit = {}
         self._eval_jit = None
-        self._sur_eval_jit = None
+        self._sur_eval_jit = {}
         self._start_time = time.time()
+        self.throughput = profiling.Throughput()
 
         # Checkpoint / resume (a subsystem the reference lacks; SURVEY §5).
         self.ckpt = None
@@ -193,12 +258,73 @@ class PDEModelBasedController:
 
                 state = self.ckpt.restore(C.controller_state(self))
                 C.load_controller_state(self, state)
+                # Restore mesh placements lost through the checkpoint.
+                self.env_state = self._shard_env_state(self.env_state)
                 print(f"[resume] restored iteration {self.iteration}")
 
     # ------------------------------------------------------------- plumbing
-    def _world_action_shape(self):
-        n_world = self.env.n // self.tr.world_sensor.stride
-        return (self.env.obs_shape[0], n_world)
+    def _shard_env_state(self, state):
+        """Place the per-env leaves of an ``EnvState`` over the ``data``
+        mesh axis (the shared auto-reset PRNG key is replicated); identity
+        without a mesh so the single-chip path is untouched."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pdecontrol_tpu.parallel.mesh import DATA_AXIS
+
+        data = NamedSharding(self.mesh, P(DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        return state.replace(
+            u=jax.device_put(state.u, data),
+            step=jax.device_put(state.step, data),
+            key=jax.device_put(state.key, repl),
+        )
+
+    def _shard_members(self, tree):
+        """Place leading (ensemble-member) axes over the ``model`` axis."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pdecontrol_tpu.parallel.mesh import MODEL_AXIS
+
+        s = NamedSharding(self.mesh, P(MODEL_AXIS))
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def _constrain_data(self, tree):
+        """In-jit sharding constraint: leading axis over ``data``."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pdecontrol_tpu.parallel.mesh import DATA_AXIS
+
+        s = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, s), tree
+        )
+
+    def _constrain_world_state(self, wstate):
+        """In-jit constraints for the imagined-rollout carry: batch over
+        ``data``; the member axis of the hidden carries stays UNSHARDED
+        (member-sharded grouped convs miscompile under GSPMD — see
+        trainer._ensemble_batch_fns)."""
+        if self.mesh is None:
+            return wstate
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pdecontrol_tpu.parallel.mesh import DATA_AXIS
+
+        md = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return wstate.replace(
+            obs=self._constrain_data(wstate.obs),
+            timesteps=self._constrain_data(wstate.timesteps),
+            hidden=jax.tree.map(
+                lambda h: jax.lax.with_sharding_constraint(h, md),
+                wstate.hidden,
+            ),
+        )
 
     def _phase_train_config(self, phase: str) -> TrainConfig:
         cfg = self.config
@@ -337,9 +463,13 @@ class PDEModelBasedController:
         if cfg.vmap_ensemble_training:
             # All members advance in one vmapped program (ensemble
             # parallelism; per-member early stopping preserved by masking).
+            # With a mesh the stacked member axis is sharded over ``model``.
             self.key, k = jax.random.split(self.key)
+            stacked_in = self._shard_members(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *self.member_states)
+            )
             stacked_states, val_losses, logs = self.trainer.fit_ensemble(
-                self.member_states, self.replay, train_mask, val_mask,
+                stacked_in, self.replay, train_mask, val_mask,
                 self.tr.undscaling, self.tr.replay_to_world, self.curriculum,
                 self.iteration, k,
                 min_steps=tc.min_steps, max_steps=tc.max_steps,
@@ -363,7 +493,8 @@ class PDEModelBasedController:
                 self.member_states[m] = state
                 scores.append(val_loss)
                 logs = mlogs
-        # Write member params back into the stacked ensemble + elites.
+        # Write member params back into the stacked ensemble + elites
+        # (replicated: rollout-path convs must not be member-sharded).
         stacked = jax.tree.map(
             lambda *leaves: jnp.stack(leaves),
             *[st.params for st in self.member_states],
@@ -383,7 +514,9 @@ class PDEModelBasedController:
         @jax.jit
         def run(key, ens, sac_state, replay, world_replay, tr):
             kreset, kloop = jax.random.split(key)
-            wstate = world.reset(kreset, ens, replay, tr)
+            wstate = self._constrain_world_state(
+                world.reset(kreset, ens, replay, tr)
+            )
 
             def body(carry, _):
                 wstate, world_replay, key = carry
@@ -452,7 +585,7 @@ class PDEModelBasedController:
                     m = pick.reshape((-1,) + (1,) * (a.ndim - 1))
                     return jnp.where(m, a, b)
 
-                batch = jax.tree.map(sel, imag, real)
+                batch = self._constrain_data(jax.tree.map(sel, imag, real))
                 batch = batch.replace(
                     obs=batch.obs.astype(jnp.float32),
                     actions=batch.actions.astype(jnp.float32),
@@ -483,7 +616,8 @@ class PDEModelBasedController:
     # ------------------------------------------------------------ evaluation
     def evaluate_policy(self) -> Dict[str, float]:
         """10 deterministic episodes on fresh envs with frozen scaling
-        (mbrl.py:462-465)."""
+        (mbrl.py:462-465); episode trajectories are persisted as an npz
+        artifact (mbrl.py:467-472)."""
         if self._eval_jit is None:
             env, sac = self.env, self.sac
             nsteps = self.env.max_episode_steps
@@ -496,63 +630,134 @@ class PDEModelBasedController:
                 def body(carry, _):
                     state, key = carry
                     key, ka = jax.random.split(key)
-                    obs = tr.raw_to_agent_obs(env.observe(state))
+                    raw = env.observe(state)
+                    obs = tr.raw_to_agent_obs(raw)
                     action = sac.select_action(sac_state, obs, ka,
                                                deterministic=True)
-                    state, out = env.step(state, tr.agent_to_env_action(action))
-                    return (state, key), out.reward
+                    env_action = tr.agent_to_env_action(action)
+                    state, out = env.step(state, env_action)
+                    return (state, key), (out.reward, raw, env_action)
 
-                (_, _), rewards = jax.lax.scan(body, (state, key), None,
-                                               length=nsteps)
+                (_, _), (rewards, obs, actions) = jax.lax.scan(
+                    body, (state, key), None, length=nsteps
+                )
                 returns = jnp.sum(rewards, axis=0)
-                return jnp.mean(returns), jnp.std(returns)
+                return jnp.mean(returns), jnp.std(returns), obs, actions, rewards
 
             self._eval_jit = run
         self.key, k1, k2 = jax.random.split(self.key, 3)
-        mean, std = self._eval_jit(k1, self.sac_state, self.tr, self.pool, k2)
+        mean, std, obs, actions, rewards = self._eval_jit(
+            k1, self.sac_state, self.tr, self.pool, k2
+        )
+        self._save_eval_artifact(obs, actions, rewards)
         return {"eval_return_mean": float(mean), "eval_return_std": float(std)}
 
-    def evaluate_surrogate(self, horizon: int = 30) -> Dict[str, float]:
-        """Open-loop replay of logged actions through the world model vs the
-        logged truth (mbrl.py:474-527), scored as MSE in world space."""
-        if self._sur_eval_jit is None:
-            module, tau = self.module, self.tau
+    def _sur_eval_fn(self, horizon: int):
+        """Jitted open-loop rollout of one logged episode's actions through
+        the world model, keyed on the (static) horizon."""
+        if horizon in self._sur_eval_jit:
+            return self._sur_eval_jit[horizon]
+        from pdecontrol_tpu.data.types import Sample
+        from pdecontrol_tpu.mbrl.agents import ActionRepeatAgent
 
-            @jax.jit
-            def run(key, ens, replay, tr):
-                batch = R.sample_windows(
-                    replay, key, 8, tau + horizon, rows_mask=replay.complete
-                )
-                batch = tr.replay_to_world(batch)
-                roll = ensemble_rollout(
-                    module, ens, batch.obs[:, :tau], batch.actions,
-                    dscaling=tr.undscaling.inv,
-                )
-                from pdecontrol_tpu.models.surrogate import select_elites
+        tau, world = self.tau, self.world
 
-                outputs, _ = select_elites(key, ens, roll.outputs)
-                err = jnp.mean(
-                    (outputs[:, tau:] - batch.obs[:, tau:]) ** 2
-                )
-                hstep = jnp.mean(
-                    (outputs - batch.obs) ** 2, axis=(0, 2, 3)
-                )
-                return err, hstep, batch.obs[0], outputs[0], batch.actions[0]
+        @jax.jit
+        def run(key, ens, replay, tr, row, start):
+            idx = start + jnp.arange(tau + horizon)
+            one = lambda x: x[row, idx][None]
+            sample = Sample(
+                obs=one(replay.obs_seq),
+                actions=one(replay.actions),
+                nxtobs=replay.obs_seq[row, idx + 1][None],
+                rewards=one(replay.rewards),
+                terminated=one(replay.terminated),
+                truncated=one(replay.truncated),
+                steps=one(replay.steps),
+            )
+            wsample = tr.replay_to_world(sample)
 
-            self._sur_eval_jit = run
-        self.key, k = jax.random.split(self.key)
-        if int(jax.device_get(self.replay.ncomplete)) == 0:
+            # Warm-start on the tau-step window (mbrl.py:484-496), then
+            # replay the episode's own logged actions open-loop
+            # (ActionRepeatAgent, mbrl.py:498-506).
+            kwarm, kloop = jax.random.split(key)
+            warm = jax.tree.map(lambda x: x[:, :tau], wsample)
+            state = world.reset_from_batch(kwarm, ens, warm, tr)
+            agent = ActionRepeatAgent(tr.env_action_to_agent(sample.actions))
+
+            def body(carry, t):
+                state, key = carry
+                key, ke = jax.random.split(key)
+                env_action = tr.agent_to_env_action(agent.action_at(t))
+                waction = tr.env_action_to_world(env_action)
+                state, reward = world.advance(ke, state, ens, waction, tr)
+                return (state, key), (state.obs[0], reward[0])
+
+            (_, _), (preds, rpred) = jax.lax.scan(
+                body, (state, kloop), tau + jnp.arange(horizon)
+            )
+
+            truth = wsample.obs[0, tau:]  # [h, C, Hw] world space
+            sq = (preds - truth) ** 2
+            rtrue = sample.rewards[0, tau:]
+            return {
+                "err": jnp.mean(sq),
+                "hstep": jnp.mean(sq, axis=(1, 2)),
+                # Imagined-vs-true reward error (the LogRewardDiff diagnostic,
+                # mbrl/callbacks.py:57-70, here vs the logged ground truth).
+                "reward_err": jnp.mean(jnp.abs(rpred - rtrue)),
+                "truth": truth,
+                "preds": preds,
+                "actions": wsample.actions[0, tau:],
+                "rtrue": rtrue,
+                "rpred": rpred,
+            }
+
+        self._sur_eval_jit[horizon] = run
+        return run
+
+    def evaluate_surrogate(self, horizon: Optional[int] = None) -> Dict[str, float]:
+        """Open-loop replay of one logged episode's actions through the world
+        model stack vs the logged truth (mbrl.py:474-527): a random completed
+        episode, a random start, tau-step warmup, then ``ActionRepeatAgent``
+        replays the episode's actions for ``horizon`` steps.  Scores the MSE
+        in world space plus the imagined-vs-true reward L1 error."""
+        horizon = self.config.surrogate_eval_horizon if horizon is None else horizon
+        tau = self.tau
+        fill = np.asarray(jax.device_get(self.replay.fill))
+        complete = np.asarray(jax.device_get(self.replay.complete))
+        rows = np.where(complete & (fill >= tau + horizon))[0]
+        if len(rows) == 0:
             return {}
-        err, hstep, truth, pred, acts = self._sur_eval_jit(
-            k, self.ensemble, self.replay, self.tr
-        )
-        self._save_plots(truth, pred, acts, hstep)
-        return {"surrogate_open_loop_mse": float(err)}
 
-    def _save_plots(self, truth, pred, acts, hstep) -> None:
+        # Distinct host-side streams for episode/start choice and the device
+        # rollout (elite selection) — keys are never reused across purposes.
+        self.key, kr, ks, kd = jax.random.split(self.key, 4)
+        row = int(rows[int(jax.device_get(
+            jax.random.randint(kr, (), 0, len(rows))
+        ))])
+        hi = max(int(fill[row]) - tau - horizon, 1)
+        start = int(jax.device_get(jax.random.randint(ks, (), 0, hi)))
+
+        out = self._sur_eval_fn(horizon)(
+            kd, self.ensemble, self.replay, self.tr,
+            jnp.asarray(row, jnp.int32), jnp.asarray(start, jnp.int32),
+        )
+        out = {k: jax.device_get(v) for k, v in out.items()}
+        self._save_plots(out["truth"], out["preds"], out["actions"],
+                         out["hstep"], out["rtrue"], out["rpred"])
+        self._save_surrogate_artifact(out)
+        return {
+            "surrogate_open_loop_mse": float(out["err"]),
+            "reward_model_error": float(out["reward_err"]),
+        }
+
+    def _save_plots(self, truth, pred, acts, hstep, rtrue=None,
+                    rpred=None) -> None:
         """wandb-callback analogue: persist open-loop comparison plots
         (reference VisPDECallback / evaluate_surrogate pdeplot,
-        mbrl.py:519-527)."""
+        mbrl.py:519-527), including the reward curves (VisRewardDiff
+        analogue, mbrl/callbacks.py:72-106)."""
         if self.config.logging_freq <= 0:
             return
         try:
@@ -562,10 +767,9 @@ class PDEModelBasedController:
 
             d = os.path.join(self.config.run_dir, "plots")
             os.makedirs(d, exist_ok=True)
-            img = plots.pdeplot(jax.device_get(truth), jax.device_get(pred),
-                                jax.device_get(acts))
+            img = plots.pdeplot(truth, pred, acts, rewards=rtrue, rpred=rpred)
             img.save(os.path.join(d, f"surrogate_iter{self.iteration}.png"))
-            plots.hstepplot(jax.device_get(hstep)).save(
+            plots.hstepplot(hstep).save(
                 os.path.join(d, f"hstep_iter{self.iteration}.png")
             )
             if self.logger.wandb is not None:
@@ -575,6 +779,42 @@ class PDEModelBasedController:
                 )
         except Exception:  # plotting must never kill training
             pass
+
+    def _save_surrogate_artifact(self, out: Dict) -> None:
+        """Per-eval h-step battery artifact (reference EvalLogCallback,
+        callbacks.py:102-134): ground truth, open-loop predictions, actions,
+        reward curves, and the h-step loss curve as one npz."""
+        if self.config.logging_freq <= 0:
+            return
+        import os
+
+        d = os.path.join(self.config.run_dir, "evaluation")
+        os.makedirs(d, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(d, f"surrogate_eval_{self.iteration}.npz"),
+            states=np.asarray(out["truth"]),
+            outputs=np.asarray(out["preds"]),
+            actions=np.asarray(out["actions"]),
+            rewards=np.asarray(out["rtrue"]),
+            rpred=np.asarray(out["rpred"]),
+            hstep_mse=np.asarray(out["hstep"]),
+        )
+
+    def _save_eval_artifact(self, obs, actions, rewards) -> None:
+        """Eval-episode trajectories as an npz artifact (mbrl.py:467-472)."""
+        if self.config.logging_freq <= 0:
+            return
+        import os
+
+        d = os.path.join(self.config.run_dir, "evaluation")
+        os.makedirs(d, exist_ok=True)
+        # [T, B, ...] -> [B, T, ...] episode-major like the reference dataset.
+        np.savez_compressed(
+            os.path.join(d, f"eval_{self.iteration}.npz"),
+            obs=np.swapaxes(np.asarray(jax.device_get(obs)), 0, 1),
+            actions=np.swapaxes(np.asarray(jax.device_get(actions)), 0, 1),
+            rewards=np.swapaxes(np.asarray(jax.device_get(rewards)), 0, 1),
+        )
 
     # ------------------------------------------------------------------ main
     def learn(self) -> None:
@@ -593,50 +833,13 @@ class PDEModelBasedController:
         )
 
         while self.num_steps_sampled < cfg.total_timesteps - cfg.learning_starts:
-            rewards = self.collect(cfg.rollout_length, random=False)
-
-            if self.iteration % self.sur_train_freq == 0:
-                self.update_delta_transform()
-                logs = self.update_surrogates()
-                self.logger.log(
-                    {"num_ensemble_updates": self.num_ensemble_updates, **logs},
-                    commit=False,
-                )
-
-            horizon = int(self.schedule(iteration=self.iteration))
-            imag_rewards = self.imagine(horizon)
-
-            pol_metrics = self.update_policy()
-
-            if self.iteration % cfg.agent_eval_freq == 0:
-                self.logger.log(self.evaluate_policy(), commit=False)
-                self.logger.log(self.evaluate_surrogate(), commit=False)
-                wmean, wstd = R.episode_returns(self.world_replay)
-                self.logger.log(
-                    {"world_return_mean": float(wmean),
-                     "world_return_std": float(wstd)},
-                    commit=False,
-                )
-
-            self.logger.log(
-                {
-                    "iteration": self.iteration,
-                    "num_steps_sampled": self.num_steps_sampled
-                    + cfg.learning_starts,
-                    "horizon": horizon,
-                    "world_buffer_samples": int(
-                        jax.device_get(self.world_replay.ntimesteps)
-                    ),
-                    "collect_reward_mean": float(jnp.mean(rewards)),
-                    "imagined_reward_mean": float(jnp.mean(imag_rewards)),
-                    "num_pol_updates": self.num_pol_updates,
-                    "sac_qf_loss": float(pol_metrics["qf_loss"]),
-                    "sac_policy_loss": float(pol_metrics["policy_loss"]),
-                    "time": time.time() - self._start_time,
-                },
-                commit=True,
-            )
-            self.iteration += 1
+            # Capture a device trace of one representative iteration
+            # (jax.profiler; view in TensorBoard/Perfetto).
+            stack = contextlib.ExitStack()
+            if cfg.profile_dir and self.iteration == 1:
+                stack.enter_context(profiling.trace(cfg.profile_dir))
+            with stack:
+                self._run_iteration()
 
             if self.iteration % cfg.status_report_freq == 0:
                 print(self.logger.table(STATUS_HEADERS), flush=True)
@@ -648,6 +851,56 @@ class PDEModelBasedController:
 
         if self.ckpt is not None and cfg.checkpoint_freq:
             self.save_checkpoint()
+
+    def _run_iteration(self) -> None:
+        cfg = self.config
+        rewards = self.collect(cfg.rollout_length, random=False)
+
+        if self.iteration % self.sur_train_freq == 0:
+            self.update_delta_transform()
+            logs = self.update_surrogates()
+            self.logger.log(
+                {"num_ensemble_updates": self.num_ensemble_updates, **logs},
+                commit=False,
+            )
+
+        horizon = int(self.schedule(iteration=self.iteration))
+        imag_rewards = self.imagine(horizon)
+
+        pol_metrics = self.update_policy()
+
+        if self.iteration % cfg.agent_eval_freq == 0:
+            self.logger.log(self.evaluate_policy(), commit=False)
+            self.logger.log(self.evaluate_surrogate(), commit=False)
+            wmean, wstd = R.episode_returns(self.world_replay)
+            self.logger.log(
+                {"world_return_mean": float(wmean),
+                 "world_return_std": float(wstd)},
+                commit=False,
+            )
+
+        self.logger.log(
+            {
+                "iteration": self.iteration,
+                "num_steps_sampled": self.num_steps_sampled
+                + cfg.learning_starts,
+                "horizon": horizon,
+                "world_buffer_samples": int(
+                    jax.device_get(self.world_replay.ntimesteps)
+                ),
+                "collect_reward_mean": float(jnp.mean(rewards)),
+                "imagined_reward_mean": float(jnp.mean(imag_rewards)),
+                "num_pol_updates": self.num_pol_updates,
+                "sac_qf_loss": float(pol_metrics["qf_loss"]),
+                "sac_policy_loss": float(pol_metrics["policy_loss"]),
+                "env_steps_per_sec": self.throughput.update(
+                    int(jax.device_get(self.replay.total_steps))
+                ),
+                "time": time.time() - self._start_time,
+            },
+            commit=True,
+        )
+        self.iteration += 1
 
     def save_checkpoint(self) -> None:
         from pdecontrol_tpu.utils import checkpoint as C

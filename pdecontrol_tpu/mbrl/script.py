@@ -54,13 +54,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--agent_eval_freq", type=int, default=50)
     p.add_argument("--num_eval_episodes", type=int, default=10)
+    p.add_argument("--surrogate_eval_horizon", type=int, default=30)
     p.add_argument("--status_report_freq", type=int, default=5)
     p.add_argument("--logging_freq", type=int, default=10)
     p.add_argument("--checkpoint_freq", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of iteration 1 here")
     # General
     p.add_argument("--total_timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
+    # Device mesh (replaces the reference's env subprocess pool)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="mesh size sharding env/training batches (DP)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="mesh size sharding ensemble members (EP)")
     # Env & rollouts
     p.add_argument("--env_id", default="KuramotoSivashinskyEnv-v0")
     p.add_argument("--env_config", type=str, default="{}")
@@ -69,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", type=int, default=1_000_000)
     p.add_argument("--rollout_length", type=int, default=1)
     p.add_argument("--pool_size", type=int, default=256)
+    p.add_argument("--agent_stride", type=int, default=1,
+                   help="sensor stride on the SAC agent's observations "
+                        "(strided-observation ablation; reference "
+                        "setup_transforms, mbrl.py:170-175)")
+    p.add_argument("--world_stride", type=int, default=1,
+                   help="sensor stride on the surrogate's world space "
+                        "(>1 rejected: reward recomputation needs the "
+                        "inverse sensor, undefined when strided)")
     # MBPO
     p.add_argument("--learning_starts", type=int, default=20_000)
     p.add_argument("--policy_train_steps_per_sample", type=int, default=5)
@@ -113,12 +129,16 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         use_wandb=args.wandb and not args.offline,
         agent_eval_freq=args.agent_eval_freq,
         num_eval_episodes=args.num_eval_episodes,
+        surrogate_eval_horizon=args.surrogate_eval_horizon,
         status_report_freq=args.status_report_freq,
         logging_freq=args.logging_freq,
         checkpoint_freq=args.checkpoint_freq,
         resume=args.resume,
+        profile_dir=args.profile_dir,
         total_timesteps=args.total_timesteps,
         seed=args.seed,
+        data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
         env_id=args.env_id,
         env_config=json.loads(args.env_config),
         num_envs=args.num_envs,
@@ -126,6 +146,8 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         capacity=args.capacity,
         rollout_length=args.rollout_length,
         pool_size=args.pool_size,
+        agent_stride=args.agent_stride,
+        world_stride=args.world_stride,
         learning_starts=args.learning_starts,
         policy_train_steps_per_sample=args.policy_train_steps_per_sample,
         model_buffer_store_iterations=args.model_buffer_store_iterations,

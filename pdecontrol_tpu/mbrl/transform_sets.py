@@ -135,5 +135,8 @@ class ControllerTransforms(struct.PyTreeNode):
     @property
     def world_replay_to_agent(self) -> SampleTransform:
         # Imagined obs are stored already in world space; actions in agent
-        # space (mbrl.py:188 + the world stack's store positions).
-        return SampleTransform(atransf=self.ascaling.inv)
+        # space (mbrl.py:188 + the world stack's store positions).  The agent
+        # sensor still applies on top of world space (identity at stride 1;
+        # the reference omits it and would shape-crash for stride > 1).
+        return SampleTransform(otransf=self.agent_sensor,
+                               atransf=self.ascaling.inv)

@@ -70,7 +70,19 @@ class WorldModel:
         ksample, kelite = jax.random.split(key)
         batch = R.sample_starting(replay, ksample, self.num_envs, self.tau)
         batch = tr.replay_to_world(batch)
+        return self.reset_from_batch(kelite, ens, batch, tr)
 
+    def reset_from_batch(
+        self,
+        kelite: Array,
+        ens: EnsembleState,
+        batch,  # Sample already in world space, [B, tau, ...]
+        tr: ControllerTransforms,
+    ) -> WorldState:
+        """Teacher-force every member over an explicit warmup window and
+        return the elite-selected last prediction (world.py:176-204).  Used
+        by ``reset`` with sampled windows and by the open-loop surrogate
+        evaluation with a specific logged episode (mbrl.py:484-496)."""
         roll = ensemble_rollout(
             self.module, ens, batch.obs, batch.actions, dscaling=tr.undscaling.inv
         )
@@ -82,6 +94,42 @@ class WorldModel:
             timesteps=batch.steps[:, -1].astype(jnp.int32),
             simulated=jnp.zeros((), jnp.int32),
         )
+
+    def advance(
+        self,
+        kelite: Array,
+        state: WorldState,
+        ens: EnsembleState,
+        waction: Array,  # [B, C, H] world-space forcing field
+        tr: ControllerTransforms,
+    ) -> Tuple[WorldState, Array]:
+        """The core of one imagined step, without truncation/auto-reset:
+        advance every member one control period on the previous *selected*
+        outputs, elite-select, and compute the physical-space reward
+        (world.py:147-174)."""
+        roll = ensemble_rollout(
+            self.module,
+            ens,
+            state.obs[:, None],  # [B, 1, C, H]
+            waction[:, None],  # [B, 1, C, H]
+            dscaling=tr.undscaling.inv,
+            hidden=state.hidden,
+        )
+        last = roll.outputs[:, :, -1]
+        selected, _ = select_elites(kelite, ens, last)
+
+        # Reward on physical-space obs + forcing field (world.py:164-171).
+        phys_obs = tr.world_to_raw_obs(selected)
+        phys_phi = tr.world_action_to_phys_field(waction)
+        reward = self.reward_fn(phys_obs, phys_phi)
+
+        stepped = WorldState(
+            obs=selected,
+            hidden=roll.hidden,
+            timesteps=state.timesteps + 1,
+            simulated=state.simulated + 1,
+        )
+        return stepped, reward
 
     def step(
         self,
@@ -103,34 +151,16 @@ class WorldModel:
         env_action = tr.agent_to_env_action(agent_action)
         waction = tr.env_action_to_world(env_action)  # [B, C, H] field
 
-        roll = ensemble_rollout(
-            self.module,
-            ens,
-            state.obs[:, None],  # [B, 1, C, H]
-            waction[:, None],  # [B, 1, C, H]
-            dscaling=tr.undscaling.inv,
-            hidden=state.hidden,
-        )
-        last = roll.outputs[:, :, -1]
-        selected, _ = select_elites(kelite, ens, last)
+        stepped, reward = self.advance(kelite, state, ens, waction, tr)
+        selected = stepped.obs
 
-        # Reward on physical-space obs + forcing field (world.py:164-171).
-        phys_obs = tr.world_to_raw_obs(selected)
-        phys_phi = tr.world_action_to_phys_field(waction)
-        reward = self.reward_fn(phys_obs, phys_phi)
-
-        timesteps = state.timesteps + 1
-        simulated = state.simulated + 1
-        env_limit = timesteps >= self.max_episode_steps
-        rll_limit = jnp.broadcast_to(simulated >= horizon, env_limit.shape)
+        env_limit = stepped.timesteps >= self.max_episode_steps
+        rll_limit = jnp.broadcast_to(stepped.simulated >= horizon,
+                                     env_limit.shape)
         all_done = jnp.all(env_limit | rll_limit)
         truncated = jnp.broadcast_to(all_done, env_limit.shape)
         terminated = jnp.zeros_like(truncated)
 
-        stepped = WorldState(
-            obs=selected, hidden=roll.hidden, timesteps=timesteps,
-            simulated=simulated,
-        )
         fresh = self.reset(kreset, ens, replay, tr)
         state = jax.lax.cond(all_done, lambda: fresh, lambda: stepped)
         return state, (state.obs, reward, terminated, truncated, selected)

@@ -114,6 +114,57 @@ def run(n_devices: int) -> None:
     sac_state, m = update(sac_state, sbatch, key)
     jax.block_until_ready(m["qf_loss"])
     print(f"[dryrun] SAC update OK (qf_loss={float(m['qf_loss']):.4f})")
+
+    # ---- 4. full MBPO iterations THROUGH THE PRODUCT PATH ----------------
+    # The controller itself builds the (data, model) mesh from the config
+    # (--data_parallel/--model_parallel) and shards env batch, stacked
+    # ensemble params, imagined world rollouts, and SAC batches; this runs
+    # warmup -> collect -> surrogate retrain -> imagine -> SAC update ->
+    # eval end-to-end on the mesh.
+    import tempfile
+
+    from pdecontrol_tpu.mbrl.config import MBPOConfig
+    from pdecontrol_tpu.mbrl.controller import PDEModelBasedController
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = MBPOConfig(
+            run_dir=tmp,
+            env_config={"n": 16, "cfg_steps": 5, "t_max": 0.04},
+            data_parallel=data_size,
+            model_parallel=model_parallel,
+            num_envs=2 * data_size,
+            total_timesteps=8 * data_size + 4 * data_size,
+            learning_starts=8 * data_size,
+            capacity=512,
+            pool_size=8,
+            surrogate_train_freq=4 * data_size,
+            policy_train_steps_per_sample=1,
+            model_rollouts_per_sample=2,
+            model_rollouts_batch_size=2 * data_size,
+            model_buffer_store_iterations=2,
+            model_buffer_max_capacity=64,
+            num_dynamics_models=2 * model_parallel,
+            num_elite_models=2 * model_parallel,
+            policy_batch_size=4 * data_size,
+            agent_eval_freq=1,
+            num_eval_episodes=2,
+            surrogate_eval_horizon=3,
+            logging_freq=0,
+            status_report_freq=100,
+            rollout_length_schedule={
+                "scheduler": "ConstantLengthScheduler", "length": 2
+            },
+            training={"tau": 2, "tbtt": 4, "patience": 1, "batch_size": 4,
+                      "min_steps": 1, "max_steps": 2},
+            curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+        )
+        ctl = PDEModelBasedController(cfg)
+        assert ctl.mesh is not None
+        ctl.learn()
+        assert ctl.iteration >= 2
+        assert int(jax.device_get(ctl.world_replay.ntimesteps)) > 0
+    print(f"[dryrun] full MBPO iterations OK on the mesh "
+          f"(imagined rollouts + SAC + eval; {ctl.iteration} iterations)")
     print(f"[dryrun] full training step validated on {n_devices}-device mesh")
 
 

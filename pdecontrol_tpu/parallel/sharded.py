@@ -50,25 +50,34 @@ def sharded_collect_fn(mesh, env, nsteps: int):
 
 def sharded_ensemble_train_fn(mesh, trainer):
     """One vmapped gradient step for ALL ensemble members at once: stacked
-    params sharded over ``model``, per-member batches over (model, data)."""
+    params + per-member batches sharded over ``model`` via ``shard_map``.
+
+    shard_map (not plain GSPMD propagation) because member training is
+    embarrassingly parallel — each device runs its local members' convs
+    unpartitioned.  GSPMD partitioning of the member-grouped convolutions
+    that vmap emits miscompiles (deterministic O(1) numeric divergence,
+    verified on the CPU backend), so the member axis must never be sharded
+    through a convolution.
+    """
     model_s = NamedSharding(mesh, P(meshlib.MODEL_AXIS))
-    batch_s = NamedSharding(mesh, P(meshlib.MODEL_AXIS, meshlib.DATA_AXIS))
 
     def one(state, states, actions, und, lr):
         return trainer.train_step(state, states, actions, und, lr)
 
     vstep = jax.vmap(one, in_axes=(0, 0, 0, None, None))
-
-    @jax.jit
-    def run(stacked_state, batch_states, batch_actions, und, lr):
-        return vstep(stacked_state, batch_states, batch_actions, und, lr)
+    m, r = P(meshlib.MODEL_AXIS), P()
+    sharded = jax.shard_map(
+        vstep, mesh=mesh, in_specs=(m, m, m, r, r), out_specs=(m, m),
+        check_vma=False,
+    )
+    run = jax.jit(sharded)
 
     def place(stacked_state, batch_states, batch_actions):
         stacked_state = jax.tree.map(
             lambda x: jax.device_put(x, model_s), stacked_state
         )
-        batch_states = jax.device_put(batch_states, batch_s)
-        batch_actions = jax.device_put(batch_actions, batch_s)
+        batch_states = jax.device_put(batch_states, model_s)
+        batch_actions = jax.device_put(batch_actions, model_s)
         return stacked_state, batch_states, batch_actions
 
     return run, place

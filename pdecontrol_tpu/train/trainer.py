@@ -100,8 +100,20 @@ class SurrogateTrainer:
             tx = [optax.clip_by_global_norm(config.gradient_clip_val)] + tx
         self.opt = optax.chain(*tx)
         self.mode = "delta" if module.mode == AUTOREG else "decoded"
+        self.mesh = None  # optional Mesh: fit_ensemble shards the member
+        # axis (stacked params + per-member PRNG keys) over ``model``
         self._train_jit = {}
         self._val_jit = {}
+
+    def _member_keys(self, key: Array, m: int) -> Array:
+        keys = jax.random.split(key, m)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from pdecontrol_tpu.parallel.mesh import MODEL_AXIS
+
+            keys = jax.device_put(keys, NamedSharding(self.mesh, P(MODEL_AXIS)))
+        return keys
 
     # ------------------------------------------------------------------ init
     def init(self, key: Array, example_states: Array, example_actions: Array,
@@ -316,7 +328,7 @@ class SurrogateTrainer:
     # ------------------------------------------------- vmapped ensemble fit
     def _ensemble_batch_fns(self, length: int):
         key_ = ("ens", length, self.config.tau, self.config.tbtt,
-                self.config.batch_size)
+                self.config.batch_size, self.mesh is not None)
         if key_ not in self._train_jit:
             cfg = self.config
 
@@ -341,12 +353,36 @@ class SurrogateTrainer:
                 return self.val_step(params, batch.obs, batch.actions, und,
                                      stransf)
 
-            train = jax.jit(jax.vmap(
+            vtrain = jax.vmap(
                 one_train, in_axes=(0, None, None, None, None, None, 0, 0)
-            ))
-            val = jax.jit(jax.vmap(
-                one_val, in_axes=(0, None, None, None, None, 0)
-            ))
+            )
+            vval = jax.vmap(one_val, in_axes=(0, None, None, None, None, 0))
+            if self.mesh is not None:
+                # Ensemble parallelism over the ``model`` axis via shard_map:
+                # each device trains its local members with plain (local)
+                # convolutions and no collectives — member training is
+                # embarrassingly parallel.  NOT plain GSPMD sharding of the
+                # stacked member axis: partitioning the member-grouped
+                # convolutions that vmap emits miscompiles (verified: O(1)
+                # deterministic numeric divergence on the CPU backend), while
+                # shard_map keeps every conv unpartitioned.
+                from jax.sharding import PartitionSpec as P
+
+                from pdecontrol_tpu.parallel.mesh import MODEL_AXIS
+
+                m, r = P(MODEL_AXIS), P()
+                vtrain = jax.shard_map(
+                    vtrain, mesh=self.mesh,
+                    in_specs=(m, r, r, r, r, r, m, m),
+                    out_specs=(m, m), check_vma=False,
+                )
+                vval = jax.shard_map(
+                    vval, mesh=self.mesh,
+                    in_specs=(m, r, r, r, r, m),
+                    out_specs=m, check_vma=False,
+                )
+            train = jax.jit(vtrain)
+            val = jax.jit(vval)
             self._train_jit[key_] = (train, val)
         return self._train_jit[key_]
 
@@ -418,14 +454,14 @@ class SurrogateTrainer:
                     stopped[:] = True
                     break
                 key, kb = jax.random.split(key)
-                member_keys = jax.random.split(kb, m)
+                member_keys = self._member_keys(kb, m)
                 stacked, tm = train(stacked, replay, train_mask, und, stransf,
                                     jnp.asarray(lr), member_keys, active)
                 steps_taken[~stopped] += 1
 
             key, kv = jax.random.split(key)
             vm = val(stacked.params, replay, val_mask, und, stransf,
-                     jax.random.split(kv, m))
+                     self._member_keys(kv, m))
             vl = np.asarray(jax.device_get(vm["val_loss"]))
             val_losses = np.where(stopped, val_losses, vl)
 

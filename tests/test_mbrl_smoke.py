@@ -33,6 +33,7 @@ def _tiny_config(tmp_path, env_id="KuramotoSivashinskyEnv-v0", **over):
         agent_eval_freq=4,
         num_eval_episodes=2,
         status_report_freq=4,
+        surrogate_eval_horizon=4,
         rollout_length_schedule={"scheduler": "ConstantLengthScheduler", "length": 2},
         training={"tau": 2, "initial": {"tbtt": 4, "patience": 2, "batch_size": 4},
                   "iterations": {"tbtt": 4, "patience": 1, "batch_size": 4}},
@@ -67,6 +68,28 @@ def test_mbrl_learn_smoke(tmp_path):
     assert val_losses and all(np.isfinite(v) for v in val_losses)
     evals = [r["eval_return_mean"] for r in records if "eval_return_mean" in r]
     assert evals and all(np.isfinite(v) for v in evals)
+
+    # Open-loop surrogate eval replayed logged actions (ActionRepeatAgent
+    # path) and tracked the imagined-vs-true reward error.
+    ol = [r["surrogate_open_loop_mse"] for r in records
+          if "surrogate_open_loop_mse" in r]
+    assert ol and all(np.isfinite(v) for v in ol)
+    rerr = [r["reward_model_error"] for r in records
+            if "reward_model_error" in r]
+    assert rerr and all(np.isfinite(v) and v >= 0 for v in rerr)
+
+    # Per-eval artifacts: policy eval episodes + the h-step battery.
+    eval_dir = os.path.join(cfg.run_dir, "evaluation")
+    eval_npz = [f for f in os.listdir(eval_dir) if f.startswith("eval_")]
+    sur_npz = [f for f in os.listdir(eval_dir)
+               if f.startswith("surrogate_eval_")]
+    assert eval_npz and sur_npz
+    battery = np.load(os.path.join(eval_dir, sorted(sur_npz)[-1]))
+    assert battery["hstep_mse"].shape == (cfg.surrogate_eval_horizon,)
+    assert battery["states"].shape == battery["outputs"].shape
+    assert battery["rewards"].shape == battery["rpred"].shape
+    ep = np.load(os.path.join(eval_dir, sorted(eval_npz)[-1]))
+    assert ep["obs"].shape[0] == cfg.num_eval_episodes
 
     # Running obs scaling tightened from its infinite sentinels.
     assert np.isfinite(float(jax.device_get(ctl.tr.oscaling.vmin).squeeze()))
@@ -115,6 +138,24 @@ def test_collect_scaling_semantics(tmp_path):
         jax.device_get(ctl.tr.raw_to_world_obs(jnp.asarray(allobs)))
     )
     assert world_obs.max() <= 1.0 + 1e-5 and world_obs.min() >= -1.0 - 1e-5
+
+
+def test_agent_stride_ablation(tmp_path):
+    """The strided-observation ablation (reference setup_transforms sensor
+    strides, mbrl.py:170-175) runs end-to-end: the SAC agent sees
+    subsampled observations on both the real and imagined paths."""
+    cfg = _tiny_config(tmp_path, total_timesteps=16, agent_stride=2)
+    ctl = PDEModelBasedController(cfg)
+    assert ctl.agent_obs_shape == (1, 8)  # n=16, stride 2
+    assert ctl.world_obs_shape == (1, 16)
+    ctl.learn()
+    assert int(jax.device_get(ctl.replay.total_steps)) == 16
+    assert int(jax.device_get(ctl.world_replay.ntimesteps)) > 0
+
+
+def test_world_stride_rejected(tmp_path):
+    with pytest.raises(ValueError, match="world_stride"):
+        PDEModelBasedController(_tiny_config(tmp_path, world_stride=2))
 
 
 def test_sequential_member_training_path(tmp_path):

@@ -17,6 +17,174 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_sharded_ensemble_train_matches_single_device():
+    """The sharded vmapped ensemble gradient step produces the same params
+    and losses as the unsharded one (members over ``model``, batches over
+    ``data``)."""
+    import jax.numpy as jnp
+
+    from pdecontrol_tpu.envs.transforms import Identity
+    from pdecontrol_tpu.models import factories
+    from pdecontrol_tpu.parallel import mesh as meshlib
+    from pdecontrol_tpu.parallel.sharded import sharded_ensemble_train_fn
+    from pdecontrol_tpu.train.losses import mse_loss
+    from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig
+
+    key = jax.random.PRNGKey(1)
+    n, members, batch, tw, t = 16, 4, 8, 2, 5
+    module = factories.make("KSAutoRegConvolutionalLSTM", delta=0.25, N=n)
+    trainer = SurrogateTrainer(module, mse_loss,
+                               TrainConfig(tau=tw, tbtt=3, batch_size=batch))
+    ex_s = jnp.zeros((1, tw, 1, n))
+    ex_a = jnp.zeros((1, t, 1, n))
+    stacked = jax.vmap(lambda k: trainer.init(k, ex_s, ex_a))(
+        jax.random.split(key, members)
+    )
+    bs = jax.random.normal(key, (members, batch, t, 1, n))
+    ba = jax.random.uniform(key, (members, batch, t, 1, n))
+    lr = jnp.asarray(1e-3)
+
+    # Single-device reference: plain vmapped train_step.
+    ref_state, ref_metrics = jax.jit(jax.vmap(
+        trainer.train_step, in_axes=(0, 0, 0, None, None)
+    ))(stacked, bs, ba, Identity(), lr)
+
+    mesh = meshlib.make_mesh(8, model_parallel=2)
+    train, place = sharded_ensemble_train_fn(mesh, trainer)
+    sh_stacked, sh_bs, sh_ba = place(stacked, bs, ba)
+    sh_state, sh_metrics = train(sh_stacked, sh_bs, sh_ba, Identity(), lr)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_metrics["train_loss"]),
+        np.asarray(sh_metrics["train_loss"]), rtol=1e-6,
+    )
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(sh_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_sac_update_matches_single_device():
+    """The SAC update with the batch sharded over ``data`` (replicated
+    params, all-reduced gradients) matches the single-device update."""
+    import jax.numpy as jnp
+
+    from pdecontrol_tpu.data.types import Sample
+    from pdecontrol_tpu.parallel import mesh as meshlib
+    from pdecontrol_tpu.parallel.sharded import sharded_sac_update_fn
+    from pdecontrol_tpu.sac.sac import SAC, SACConfig
+
+    key = jax.random.PRNGKey(2)
+    n, batch = 16, 32
+    sac = SAC((1, n), (1, 4), SACConfig())
+    sac_state = sac.init(key)
+    sbatch = Sample(
+        obs=jax.random.normal(key, (batch, 1, n)),
+        actions=jax.random.uniform(key, (batch, 1, 4), minval=-1, maxval=1),
+        nxtobs=jax.random.normal(jax.random.PRNGKey(3), (batch, 1, n)),
+        rewards=jax.random.normal(jax.random.PRNGKey(4), (batch,)),
+        terminated=jnp.zeros((batch,), bool),
+        truncated=jnp.zeros((batch,), bool),
+        steps=jnp.zeros((batch,), jnp.int32),
+    )
+    kupd = jax.random.PRNGKey(5)
+
+    ref_state, ref_metrics = jax.jit(sac.update)(sac_state, sbatch, kupd)
+
+    mesh = meshlib.make_mesh(8)
+    update, place = sharded_sac_update_fn(mesh, sac)
+    sh_sac_state, sh_batch = place(sac_state, sbatch)
+    sh_state, sh_metrics = update(sh_sac_state, sh_batch, kupd)
+
+    for k in ("qf_loss", "policy_loss"):
+        np.testing.assert_allclose(
+            float(ref_metrics[k]), float(sh_metrics[k]), rtol=1e-5
+        )
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(sh_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_controller_learn_on_mesh(tmp_path):
+    """The PRODUCT path on a mesh: a tiny ``controller.learn()`` with
+    --data_parallel/--model_parallel runs every stage (collect, ensemble
+    retrain, imagined rollouts, SAC updates, eval) green on the virtual
+    8-device mesh."""
+    from pdecontrol_tpu.mbrl.config import MBPOConfig
+    from pdecontrol_tpu.mbrl.controller import PDEModelBasedController
+
+    cfg = MBPOConfig(
+        run_dir=str(tmp_path / "mesh_run"),
+        env_config={"n": 16, "cfg_steps": 5, "t_max": 0.04},
+        data_parallel=2,
+        model_parallel=2,
+        num_envs=2,
+        total_timesteps=24,
+        learning_starts=8,
+        capacity=512,
+        pool_size=8,
+        surrogate_train_freq=8,
+        policy_train_steps_per_sample=1,
+        model_rollouts_per_sample=2,
+        model_rollouts_batch_size=4,
+        model_buffer_store_iterations=2,
+        model_buffer_max_capacity=64,
+        num_dynamics_models=2,
+        num_elite_models=2,
+        policy_batch_size=8,
+        agent_eval_freq=4,
+        num_eval_episodes=2,
+        surrogate_eval_horizon=4,
+        logging_freq=0,
+        status_report_freq=100,
+        rollout_length_schedule={"scheduler": "ConstantLengthScheduler",
+                                 "length": 2},
+        training={"tau": 2, "tbtt": 4, "patience": 1, "batch_size": 4,
+                  "min_steps": 1, "max_steps": 3},
+        curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+    )
+    ctl = PDEModelBasedController(cfg)
+    assert ctl.mesh is not None
+    ctl.learn()
+    assert ctl.iteration == (24 - 8) // 2
+    assert int(jax.device_get(ctl.replay.total_steps)) == 24
+    assert int(jax.device_get(ctl.world_replay.ntimesteps)) > 0
+
+
+def test_controller_mesh_collect_matches_single_device(tmp_path):
+    """Collection through the mesh-sharded controller equals the unsharded
+    controller numerically (same seeds, same keys)."""
+    from pdecontrol_tpu.mbrl.config import MBPOConfig
+    from pdecontrol_tpu.mbrl.controller import PDEModelBasedController
+
+    def build(dp, mp, d):
+        return PDEModelBasedController(MBPOConfig(
+            run_dir=str(tmp_path / d),
+            env_config={"n": 16, "cfg_steps": 5, "t_max": 0.04},
+            data_parallel=dp, model_parallel=mp,
+            num_envs=4, pool_size=8, capacity=512,
+            num_dynamics_models=2, num_elite_models=2,
+            model_rollouts_batch_size=4, policy_batch_size=8,
+            logging_freq=0,
+            rollout_length_schedule={"scheduler": "ConstantLengthScheduler",
+                                     "length": 2},
+            training={"tau": 2, "tbtt": 4, "batch_size": 4},
+            curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+        ))
+
+    a = build(1, 1, "single")
+    b = build(4, 2, "mesh")
+    ra = a.collect(6, random=True)
+    rb = b.collect(6, random=True)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(a.replay.obs_seq)),
+        np.asarray(jax.device_get(b.replay.obs_seq)),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
 def test_sharded_env_step_matches_single_device():
     import jax.numpy as jnp
 
