@@ -202,6 +202,41 @@ def sample_windows(
     return _gather_window(replay, rows, starts, length)
 
 
+def enumerate_windows(
+    replay: ReplayState,
+    length: int,
+    stride: int = None,
+    rows_mask: Array = None,
+) -> Sample:
+    """Every strided window, deterministically ordered — the reference's
+    non-bootstrap ``SubSeqDataset`` enumeration (dataset.py:54-76; window
+    ``i`` of a row starts at ``i * stride``).  ``stride=None`` means
+    non-overlapping windows (``stride=length``), the dataset's own default
+    (dataset.py:54-55); the offline test battery uses ``stride=tau``
+    (datamodule.py:100-108).
+
+    Counts are data-dependent, so enumeration happens host-side (this is a
+    data-prep entry point like the torch Dataset, not a jit region); the
+    gather itself runs on device.
+    """
+    import numpy as np
+
+    stride = length if stride is None else stride
+    fill = np.asarray(jax.device_get(replay.fill))
+    if rows_mask is None:
+        mask = np.ones_like(fill, dtype=bool)
+    else:
+        mask = np.asarray(jax.device_get(rows_mask)).astype(bool)
+    rows_l, starts_l = [], []
+    for r in np.nonzero(mask)[0]:
+        n = max((int(fill[r]) - length) // stride + 1, 0)
+        rows_l.extend([r] * n)
+        starts_l.extend(i * stride for i in range(n))
+    rows = jnp.asarray(np.asarray(rows_l, np.int32))
+    starts = jnp.asarray(np.asarray(starts_l, np.int32))
+    return _gather_window(replay, rows, starts, length)
+
+
 def sample_starting(
     replay: ReplayState, key: Array, batch: int, tau: int
 ) -> Sample:

@@ -170,12 +170,11 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
     )
     train_time = time.time() - t0
 
-    # ---- test battery on held-out episodes, stride-tau windows
-    # (datamodule.py:100-117).
+    # ---- test battery on held-out episodes: ALL non-bootstrap stride-tau
+    # windows, deterministically enumerated (datamodule.py:100-117).
     length = tau + args.target_length
-    batch = R.sample_windows(
-        rep, jax.random.PRNGKey(999), batch=min(64, 4 * len(test_idx)),
-        length=length,
+    batch = R.enumerate_windows(
+        rep, length, stride=tau,
         rows_mask=jnp.zeros((nrows,), bool).at[jnp.asarray(test_idx)].set(True),
     )
     batch = stransf(batch)

@@ -799,6 +799,19 @@ class PDEModelBasedController:
             rpred=np.asarray(out["rpred"]),
             hstep_mse=np.asarray(out["hstep"]),
         )
+        # wandb Table of the h-step battery (EvalLogCallback,
+        # callbacks.py:118-134).
+        if self.logger.wandb is not None:
+            try:
+                wb = self.logger.wandb
+                table = wb.Table(
+                    columns=["h", "open_loop_mse"],
+                    data=[[int(h), float(v)]
+                          for h, v in enumerate(np.asarray(out["hstep"]))],
+                )
+                wb.log({"surrogate_hstep_battery": table}, commit=False)
+            except Exception:  # artifact logging must never kill training
+                pass
 
     def _save_eval_artifact(self, obs, actions, rewards) -> None:
         """Eval-episode trajectories as an npz artifact (mbrl.py:467-472)."""

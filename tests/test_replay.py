@@ -145,3 +145,32 @@ def test_transition_sampling_and_stats():
     dm, dv = R.delta_statistics(rep, Identity(), delta=0.5)
     np.testing.assert_allclose(float(dm), 1.75)
     np.testing.assert_allclose(float(dv), (48 * 0.0625 + 16 * 0.5625) / 63, rtol=1e-6)
+
+
+def test_enumerate_windows_non_bootstrap():
+    """Deterministic strided enumeration (SubSeqDataset bootstrapping=False,
+    dataset.py:54-76): window i of a row starts at i*stride; stride=None
+    means non-overlapping; counts match floor((fill-length)/stride)+1."""
+    ep_len, num_envs = 10, 1
+    rep = R.create(4, ep_len, num_envs, (1, 4), (1, 2))
+    rep = _fill_episodes(rep, 20, ep_len, num_envs)  # rows 0,1 full
+
+    s = R.enumerate_windows(rep, length=4, stride=3)
+    # Per full row: (10-4)//3+1 = 3 windows at starts 0,3,6; 2 rows -> 6.
+    assert s.obs.shape == (6, 4, 1, 4)
+    starts = np.asarray(s.steps[:, 0]) - 1  # steps column encodes col+1
+    np.testing.assert_array_equal(starts, [0, 3, 6, 0, 3, 6])
+    # Windows are contiguous in time.
+    np.testing.assert_allclose(
+        np.asarray(s.obs[0, :, 0, 0]), np.asarray(rep.obs_seq[0, 0:4, 0, 0])
+    )
+
+    # Default stride = length (non-overlapping): (10-4)//4+1 = 2 per row.
+    s2 = R.enumerate_windows(rep, length=4)
+    assert s2.obs.shape[0] == 4
+
+    # rows_mask restricts the enumeration.
+    mask = jnp.zeros((4,), bool).at[1].set(True)
+    s3 = R.enumerate_windows(rep, length=4, stride=3, rows_mask=mask)
+    assert s3.obs.shape[0] == 3
+    assert float(s3.obs[0, 0, 0, 0]) >= 10.0  # row 1 holds steps 10..19
