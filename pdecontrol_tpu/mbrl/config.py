@@ -92,6 +92,7 @@ class MBPOConfig:
     target_update_interval: int = 1
     hidden_size: int = 256
     automatic_entropy_tuning: bool = False
+    reward_scale: float = 1.0  # SAC-update reward scaling (sac.py docstring)
 
     def to_dict(self) -> Dict:
         return dataclasses.asdict(self)

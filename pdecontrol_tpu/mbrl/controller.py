@@ -217,6 +217,7 @@ class PDEModelBasedController:
             hidden=cfg.hidden_size,
             target_update_interval=cfg.target_update_interval,
             automatic_entropy_tuning=cfg.automatic_entropy_tuning,
+            reward_scale=cfg.reward_scale,
         )
         self.sac = SAC(self.agent_obs_shape, self.env.action_shape, sac_cfg,
                        self.env.action_low, self.env.action_high)

@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_update_interval", type=int, default=1)
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--automatic_entropy_tuning", action="store_true")
+    p.add_argument("--reward_scale", type=float, default=1.0,
+                   help="SAC-update reward scaling (classic SAC knob; "
+                        "alpha=0.2 is tuned for KS's O(1) per-step rewards)")
     return p
 
 
@@ -176,6 +179,7 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         target_update_interval=args.target_update_interval,
         hidden_size=args.hidden_size,
         automatic_entropy_tuning=args.automatic_entropy_tuning,
+        reward_scale=args.reward_scale,
     )
     defaults = REGISTRY[args.factory].defaults
     return cfg.merged_with_factory_defaults(defaults)

@@ -35,6 +35,13 @@ class SACConfig(NamedTuple):
     target_update_interval: int = 1
     automatic_entropy_tuning: bool = False
     target_entropy: float = -4.0  # -dim(A); overridden at agent creation
+    # Reward scaling inside the soft-Q update (the classic SAC temperature
+    # knob, Haarnoja et al. 2018 §D).  alpha=0.2 is tuned for KS's ~O(1)
+    # per-step rewards; environments with much smaller rewards (Burgers:
+    # ~500x smaller — the field damps to ~0) let the entropy term dominate
+    # the Q landscape unless rewards are rescaled into the same regime.
+    # Only the update sees scaled rewards; logged metrics stay unscaled.
+    reward_scale: float = 1.0
 
 
 class SACState(struct.PyTreeNode):
@@ -109,7 +116,7 @@ class SAC:
     ) -> Tuple[SACState, Dict[str, Array]]:
         cfg = self.config
         obs, actions, nxtobs, rewards = batch.obs, batch.actions, batch.nxtobs, batch.rewards
-        rewards = rewards.reshape(-1, 1)
+        rewards = rewards.reshape(-1, 1) * cfg.reward_scale
         mask = 1.0 - batch.terminated.astype(jnp.float32).reshape(-1, 1)
 
         knext, kpi = jax.random.split(key)

@@ -47,6 +47,7 @@ def build_parser():
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--automatic_entropy_tuning", action="store_true")
+    p.add_argument("--reward_scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_freq", type=int, default=2000,
                    help="eval every N env steps")
@@ -73,6 +74,7 @@ class SACTrainer:
             gamma=args.gamma, tau=args.tau, alpha=args.alpha, lr=args.lr,
             hidden=args.hidden_size,
             automatic_entropy_tuning=args.automatic_entropy_tuning,
+            reward_scale=args.reward_scale,
         )
         self.sac = SAC(self.env.obs_shape, self.env.action_shape, sac_cfg,
                        self.env.action_low, self.env.action_high)

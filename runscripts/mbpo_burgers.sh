@@ -2,11 +2,14 @@
 # Burgers MBRL experiment — the capability the reference advertises but
 # lacks (pdegym/__init__.py:2 imports a missing package).
 #
-# Burgers per-step rewards are ~1000x smaller than KS (the field damps to
-# ~0), so a fixed SAC entropy weight (alpha=0.2) eventually dominates the
-# objective and drives the policy toward max-entropy forcing — the collapse
-# seen in results/burgers20k (round 1).  Automatic entropy tuning
-# (target = -dim(A)) keeps the entropy term scaled to the reward signal.
+# Burgers per-step rewards are ~500x smaller than KS (the field damps to
+# ~0), so with the KS-tuned alpha=0.2 the entropy term dominates the soft-Q
+# landscape and the policy optimises entropy structure instead of control —
+# the collapse seen in round-1/2 runs (automatic entropy tuning does NOT
+# fix this: it matches an entropy target, not the reward/entropy balance;
+# verified empirically — Q drifted to +6 with all-negative returns).
+# --reward_scale 500 rescales rewards into the regime alpha=0.2 was tuned
+# for (the classic SAC temperature knob, Haarnoja et al. 2018 §D).
 set -e
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}"
 cd "$(dirname "$0")/.."
@@ -23,6 +26,6 @@ python -m pdecontrol_tpu.mbrl.script \
     --rollout_length_schedule '{"scheduler": "LinearScheduler", "steptype": "iteration", "start": 0, "stop": 200, "vmin": 3, "vmax": 7}' \
     --policy_train_steps_per_sample 10 \
     --surrogate_train_freq 500 \
-    --automatic_entropy_tuning \
+    --reward_scale 500 \
     --checkpoint_freq 200 \
     --run_dir runs/burgers20k "$@"

@@ -134,3 +134,28 @@ def test_update_many_scan_matches_loop():
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      s_scan.policy_params, s_loop.policy_params)
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_reward_scale_equals_prescaled_rewards():
+    """reward_scale=s inside the update produces exactly the same new state
+    as scaling the batch rewards by s with reward_scale=1 (only the soft-Q
+    update sees scaled rewards)."""
+    key = jax.random.PRNGKey(7)
+    batch = _batch(key)
+    s = 500.0
+
+    def run(cfg, b):
+        sac = SAC((1, 8), (1, 4), cfg, -jnp.ones((1, 4)), jnp.ones((1, 4)))
+        state = sac.init(jax.random.PRNGKey(1))
+        return sac.update(state, b, jax.random.PRNGKey(2))
+
+    st_scaled, m_scaled = run(SACConfig(reward_scale=s), batch)
+    st_manual, m_manual = run(
+        SACConfig(), batch.replace(rewards=batch.rewards * s)
+    )
+    for a, b_ in zip(jax.tree.leaves(st_scaled.critic_params),
+                     jax.tree.leaves(st_manual.critic_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m_scaled["qf_loss"]), float(m_manual["qf_loss"]), rtol=1e-6
+    )
