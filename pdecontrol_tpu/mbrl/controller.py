@@ -68,7 +68,8 @@ class PDEModelBasedController:
         self.config = config
         self.logger = logger or MetricsLogger(config.run_dir, config.use_wandb,
                                               config.project, config.name,
-                                              config.to_dict())
+                                              config.to_dict(),
+                                              append=config.resume)
         cfg = config
 
         env_cls, make_pool = ENVS[cfg.env_id]

@@ -17,11 +17,13 @@ from typing import Dict, List, Optional
 class MetricsLogger:
     def __init__(self, run_dir: str, use_wandb: bool = False,
                  project: Optional[str] = None, name: Optional[str] = None,
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None, append: bool = False):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
-        self._file = open(self.path, "a", buffering=1)
+        # Fresh runs truncate so a re-run into the same run_dir never mixes
+        # two runs' records; checkpoint-resume passes append=True.
+        self._file = open(self.path, "a" if append else "w", buffering=1)
         self._pending: Dict = {}
         self.summary: Dict = {}
         self._step = 0
