@@ -223,9 +223,10 @@ def main(argv=None) -> int:
     data = dict(np.load(args.data))
     episodes = data["obs"].shape[0]
     n_used = math.ceil(args.total * episodes)
-    for k in data:
-        data[k] = data[k][:n_used]
-
+    # The data budget restricts the FOLD INDICES, not the array shapes: the
+    # dense replay keeps every episode and the train/val/test row masks
+    # select the first n_used, so every budget of a sweep reuses the same
+    # compiled programs (static shapes; a 6-budget sweep compiles once).
     folds = kfold_indices(n_used, args.splits, args.seed)
     if args.max_folds:
         folds = folds[: args.max_folds]

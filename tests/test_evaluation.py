@@ -79,3 +79,39 @@ def test_metric_battery_shapes():
     assert m["nrmse_rews"].shape == (7,)
     assert m["l1_loss_derivs-derivative-2"].shape == (7,)
     assert np.isfinite(np.asarray(m["MSE"]))
+
+
+def test_evaluate_sub_budget_masks_not_shapes(tmp_path):
+    """--total restricts fold indices, not array shapes (budget sweeps reuse
+    one compiled program): a 0.5 budget over 6 episodes folds over the first
+    3 while the replay keeps all 6 rows."""
+    from pdecontrol_tpu.evaluation.generate import generate
+
+    data = generate(
+        "KuramotoSivashinskyEnv-v0",
+        episodes=6,
+        config={"n": 16, "cfg_steps": 5, "t_max": 0.08},
+        seed=0,
+    )
+    path = tmp_path / "data.npz"
+    np.savez_compressed(path, **data)
+
+    from pdecontrol_tpu.evaluation.evaluate import main
+
+    out = tmp_path / "eval_budget"
+    rc = main([
+        "--env_id", "KuramotoSivashinskyEnv-v0",
+        "--env_config", json.dumps({"n": 16, "cfg_steps": 5, "t_max": 0.08}),
+        "--data", str(path),
+        "--factory", "KSAutoRegConvolutionalLSTM",
+        "--target_length", "4",
+        "--splits", "3",
+        "--max_folds", "1",
+        "--total", "0.5",
+        "--training", json.dumps({"tau": 2, "tbtt": 1000000, "batch_size": 4,
+                                  "patience": 2, "max_epochs": 2}),
+        "--output", str(out),
+    ])
+    assert rc == 0
+    summary = json.load(open(out / "summary.json"))
+    assert len(summary) == 1 and np.isfinite(summary[0]["MSE"])
