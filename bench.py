@@ -166,9 +166,13 @@ def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 20) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def bench_sac(batch: int = 256, iters: int = 50) -> float:
-    """Secondary: jitted SAC updates/sec at the reference policy batch size
-    (script.py:65)."""
+def bench_sac(batch: int = 256, iters: int = 50, chain: int = 100) -> float:
+    """Secondary: sustained SAC updates/sec at the reference policy batch
+    size (script.py:65), measured on the PRODUCT path — ``update_many``
+    scans ``chain`` chained updates over pre-gathered [T, B, ...] batches
+    in one jitted program (the controller's policy phase,
+    controller.py::_policy_fn), so dispatch overhead is amortised exactly
+    as in a real run."""
     import jax
     import jax.numpy as jnp
 
@@ -178,20 +182,21 @@ def bench_sac(batch: int = 256, iters: int = 50) -> float:
     key = jax.random.PRNGKey(0)
     sac = SAC((1, 64), (1, 4), SACConfig())
     state = sac.init(key)
-    sbatch = Sample(
-        obs=jax.random.normal(key, (batch, 1, 64), jnp.float32),
-        actions=jax.random.uniform(key, (batch, 1, 4), minval=-1.0,
+    ks = jax.random.split(key, 4)
+    batches = Sample(
+        obs=jax.random.normal(ks[0], (chain, batch, 1, 64), jnp.float32),
+        actions=jax.random.uniform(ks[1], (chain, batch, 1, 4), minval=-1.0,
                                    maxval=1.0, dtype=jnp.float32),
-        nxtobs=jax.random.normal(key, (batch, 1, 64), jnp.float32),
-        rewards=jax.random.normal(key, (batch,), jnp.float32),
-        terminated=jnp.zeros((batch,), bool),
-        truncated=jnp.zeros((batch,), bool),
-        steps=jnp.zeros((batch,), jnp.int32),
+        nxtobs=jax.random.normal(ks[2], (chain, batch, 1, 64), jnp.float32),
+        rewards=jax.random.normal(ks[3], (chain, batch), jnp.float32),
+        terminated=jnp.zeros((chain, batch), bool),
+        truncated=jnp.zeros((chain, batch), bool),
+        steps=jnp.zeros((chain, batch), jnp.int32),
     )
 
     @jax.jit
     def step(state, k):
-        state, _ = sac.update(state, sbatch, k)
+        state, _ = sac.update_many(state, batches, k)
         return state
 
     state = step(state, key)
@@ -200,7 +205,7 @@ def bench_sac(batch: int = 256, iters: int = 50) -> float:
     for i in range(iters):
         state = step(state, jax.random.fold_in(key, i))
     jax.block_until_ready(jax.tree.leaves(state)[0])
-    return iters / (time.perf_counter() - t0)
+    return iters * chain / (time.perf_counter() - t0)
 
 
 def bench_oracle(steps: int = 3) -> float:

@@ -869,8 +869,16 @@ class PDEModelBasedController:
 
     def _run_iteration(self) -> None:
         cfg = self.config
+        # Per-phase wall timings (each phase blocks on its primary output
+        # before the clock stops, so the numbers are honest device time,
+        # not dispatch time).  Phases are data-dependent so the added
+        # barriers cost only next-dispatch pipelining.
+        t = time.perf_counter()
         rewards = self.collect(cfg.rollout_length, random=False)
+        jax.block_until_ready(rewards)
+        t_collect, t = time.perf_counter() - t, time.perf_counter()
 
+        t_surrogate = 0.0
         if self.iteration % self.sur_train_freq == 0:
             self.update_delta_transform()
             logs = self.update_surrogates()
@@ -878,12 +886,18 @@ class PDEModelBasedController:
                 {"num_ensemble_updates": self.num_ensemble_updates, **logs},
                 commit=False,
             )
+            t_surrogate, t = time.perf_counter() - t, time.perf_counter()
 
         horizon = int(self.schedule(iteration=self.iteration))
         imag_rewards = self.imagine(horizon)
+        jax.block_until_ready(imag_rewards)
+        t_imagine, t = time.perf_counter() - t, time.perf_counter()
 
         pol_metrics = self.update_policy()
+        jax.block_until_ready(pol_metrics["qf_loss"])
+        t_policy, t = time.perf_counter() - t, time.perf_counter()
 
+        t_eval = 0.0
         if self.iteration % cfg.agent_eval_freq == 0:
             self.logger.log(self.evaluate_policy(), commit=False)
             self.logger.log(self.evaluate_surrogate(), commit=False)
@@ -893,6 +907,7 @@ class PDEModelBasedController:
                  "world_return_std": float(wstd)},
                 commit=False,
             )
+            t_eval = time.perf_counter() - t
 
         self.logger.log(
             {
@@ -911,6 +926,11 @@ class PDEModelBasedController:
                 "env_steps_per_sec": self.throughput.update(
                     int(jax.device_get(self.replay.total_steps))
                 ),
+                "t_collect": round(t_collect, 4),
+                "t_surrogate": round(t_surrogate, 4),
+                "t_imagine": round(t_imagine, 4),
+                "t_policy": round(t_policy, 4),
+                "t_eval": round(t_eval, 4),
                 "time": time.time() - self._start_time,
             },
             commit=True,
