@@ -54,6 +54,21 @@ def build_parser():
     return p
 
 
+def make_curriculum(curriculum_json: str, target_length: int):
+    """Honor --curriculum when given (reference offline.sh grows the window
+    25->50 over 100 epochs); the default is a constant window of
+    ``target_length`` — one compiled program per fold, the TPU-native
+    protocol choice (each distinct window length is a recompile)."""
+    from pdecontrol_tpu.train.schedulers import (
+        ConstantLengthScheduler, Scheduler,
+    )
+
+    cfg = json.loads(curriculum_json)
+    if cfg:
+        return Scheduler.factory(cfg)
+    return ConstantLengthScheduler(length=target_length)
+
+
 def kfold_indices(n: int, splits: int, seed: int):
     """sklearn-KFold(shuffle=True) equivalent: shuffled indices split into
     ``splits`` contiguous folds."""
@@ -84,7 +99,6 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
     from pdecontrol_tpu.models import factories
     from pdecontrol_tpu.train.losses import make_loss
     from pdecontrol_tpu.train.metrics import surrogate_metric_battery
-    from pdecontrol_tpu.train.schedulers import ConstantLengthScheduler
     from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig
 
     env_cls, _ = ENVS[args.env_id]
@@ -162,7 +176,7 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
     train_mask = jnp.zeros((nrows,), bool).at[jnp.asarray(train_idx)].set(True)
     val_mask = jnp.zeros((nrows,), bool).at[jnp.asarray(val_idx)].set(True)
 
-    curriculum = ConstantLengthScheduler(length=args.target_length)
+    curriculum = make_curriculum(args.curriculum, args.target_length)
     t0 = time.time()
     tstate, val_loss, logs = trainer.fit(
         tstate, rep, train_mask, val_mask, undscaling, stransf, curriculum,

@@ -115,3 +115,26 @@ def test_evaluate_sub_budget_masks_not_shapes(tmp_path):
     assert rc == 0
     summary = json.load(open(out / "summary.json"))
     assert len(summary) == 1 and np.isfinite(summary[0]["MSE"])
+
+
+def test_curriculum_flag_honored():
+    """--curriculum builds the requested scheduler; the default is a
+    constant window of target_length (one compiled program per fold)."""
+    import json as _json
+
+    from pdecontrol_tpu.evaluation.evaluate import make_curriculum
+    from pdecontrol_tpu.train.schedulers import (
+        ConstantLengthScheduler, LinearScheduler,
+    )
+
+    c = make_curriculum("{}", 30)
+    assert isinstance(c, ConstantLengthScheduler)
+    assert int(c(iteration=0, epoch=50, step=0)) == 30
+
+    lin = make_curriculum(_json.dumps({
+        "scheduler": "LinearScheduler", "steptype": "epoch",
+        "start": 0, "stop": 100, "vmin": 25, "vmax": 50,
+    }), 30)
+    assert isinstance(lin, LinearScheduler)
+    assert int(lin(iteration=0, epoch=0, step=0)) == 25
+    assert int(lin(iteration=0, epoch=100, step=0)) == 50
