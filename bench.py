@@ -208,7 +208,11 @@ def bench_sac(batch: int = 256, iters: int = 50, chain: int = 100) -> float:
     return iters * chain / (time.perf_counter() - t0)
 
 
-def bench_oracle(steps: int = 3) -> float:
+def bench_oracle(steps: int = 3, repeats: int = 3) -> float:
+    """Best-of-``repeats`` rate: host load only ever slows the oracle, so
+    the max is the least-biased estimate of its true speed (this is the
+    ``vs_baseline`` denominator — a loaded-host underestimate would
+    overstate the speedup)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracles import KSOracle
 
@@ -217,10 +221,14 @@ def bench_oracle(steps: int = 3) -> float:
     u = rng.uniform(-1, 1, size=64)
     phi = 0.1 * np.sin(2 * np.pi * np.arange(64) / 64)
     oracle.control_period(u, phi)  # warm
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        u, _ = oracle.control_period(u, phi)
-    return steps / (time.perf_counter() - t0)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = u
+        for _ in range(steps):
+            v, _ = oracle.control_period(v, phi)
+        best = max(best, steps / (time.perf_counter() - t0))
+    return best
 
 
 def bench_native(steps: int = 50) -> float:
