@@ -168,35 +168,54 @@ def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 20) -> float:
 
 def bench_sac(batch: int = 256, iters: int = 50, chain: int = 100) -> float:
     """Secondary: sustained SAC updates/sec at the reference policy batch
-    size (script.py:65), measured on the PRODUCT path — ``update_many``
-    scans ``chain`` chained updates over pre-gathered [T, B, ...] batches
-    in one jitted program (the controller's policy phase,
-    controller.py::_policy_fn), so dispatch overhead is amortised exactly
-    as in a real run."""
+    size (script.py:65), measured on the PRODUCT-path program shape — the
+    controller's policy phase (controller.py::_policy_fn) scans chained
+    updates with per-update ON-DEVICE transition sampling from the real and
+    imagined replays plus the real/imagined mix-select, all in one jitted
+    program.  This body reproduces that structure (two gathers + mix +
+    update per step), so both the amortised dispatch and the sampling
+    memory traffic are included."""
     import jax
     import jax.numpy as jnp
 
-    from pdecontrol_tpu.data.types import Sample
+    from pdecontrol_tpu.data import replay as R
     from pdecontrol_tpu.sac.sac import SAC, SACConfig
 
     key = jax.random.PRNGKey(0)
     sac = SAC((1, 64), (1, 4), SACConfig())
     state = sac.init(key)
-    ks = jax.random.split(key, 4)
-    batches = Sample(
-        obs=jax.random.normal(ks[0], (chain, batch, 1, 64), jnp.float32),
-        actions=jax.random.uniform(ks[1], (chain, batch, 1, 4), minval=-1.0,
-                                   maxval=1.0, dtype=jnp.float32),
-        nxtobs=jax.random.normal(ks[2], (chain, batch, 1, 64), jnp.float32),
-        rewards=jax.random.normal(ks[3], (chain, batch), jnp.float32),
-        terminated=jnp.zeros((chain, batch), bool),
-        truncated=jnp.zeros((chain, batch), bool),
-        steps=jnp.zeros((chain, batch), jnp.int32),
-    )
+
+    def filled_replay(k):
+        rep = R.create(64, 400, 1, (1, 64), (1, 4))
+        return rep.replace(
+            obs_seq=jax.random.normal(k, rep.obs_seq.shape, jnp.float32),
+            actions=jax.random.uniform(k, rep.actions.shape, jnp.float32,
+                                       minval=-1.0, maxval=1.0),
+            rewards=jax.random.normal(k, rep.rewards.shape, jnp.float32),
+            fill=jnp.full((64,), 400, jnp.int32),
+            complete=jnp.ones((64,), bool),
+        )
+
+    kr, kw = jax.random.split(key)
+    real_rep, world_rep = filled_replay(kr), filled_replay(kw)
 
     @jax.jit
     def step(state, k):
-        state, _ = sac.update_many(state, batches, k)
+        def body(carry, _):
+            st, k = carry
+            k, k1, k2, k3, ku = jax.random.split(k, 5)
+            real = R.sample_transitions(real_rep, k1, batch)
+            imag = R.sample_transitions(world_rep, k2, batch)
+            pick = jax.random.uniform(k3, (batch,)) < 0.5
+
+            def sel(a, b):
+                m = pick.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            st, _ = sac.update(st, jax.tree.map(sel, imag, real), ku)
+            return (st, k), None
+
+        (state, _), _ = jax.lax.scan(body, (state, k), None, length=chain)
         return state
 
     state = step(state, key)

@@ -170,17 +170,6 @@ def _row_weights(replay: ReplayState, length: int, rows_mask: Array = None) -> A
     return w
 
 
-def num_windows(replay: ReplayState, length: int, rows_mask: Array = None) -> Array:
-    """Total number of stride-1 windows available for ``sample_windows``.
-
-    Host-side guard for the degenerate all-zero-weights case (tiny replay or
-    an empty train mask): with zero total weight ``sample_windows`` would
-    silently draw uniform rows and gather all-zero windows.  Callers that fit
-    on sampled windows assert this is > 0 first.
-    """
-    return jnp.sum(_row_weights(replay, length, rows_mask)).astype(jnp.int32)
-
-
 def sample_windows(
     replay: ReplayState,
     key: Array,

@@ -443,8 +443,14 @@ class PDEModelBasedController:
         # early stopping) would silently run on all-zero gathers.  Short
         # in-progress episodes stay in train, where the window-count weights
         # already exclude them from sampling.
+        # Same step basis as fit/fit_ensemble (cumulative optimizer steps),
+        # so a steptype='step' curriculum validates the split at the length
+        # the fit will actually start from, not the stale step-0 length.
+        start_step = int(max(
+            int(jax.device_get(st.global_step)) for st in self.member_states
+        ))
         length0 = tc.tau + int(self.curriculum(iteration=self.iteration,
-                                               epoch=0, step=0))
+                                               epoch=0, step=start_step))
         ok = rows[fill[rows] >= length0]
         short = rows[fill[rows] < length0]
         if len(ok) == 0:
@@ -452,12 +458,17 @@ class PDEModelBasedController:
                 f"no episode long enough for a length-{length0} window "
                 f"(fills={fill[rows].tolist()})"
             )
-        n_val = max(int(len(rows) * cfg.val_split_ratio), 1)
-        n_val = min(n_val, max(len(ok) - 1, 1))
-        val_rows = ok[:n_val]
-        train_rows = np.concatenate([ok[n_val:], short])
-        if len(train_rows) == 0:  # degenerate tiny-replay fallback
-            train_rows = val_rows
+        if len(ok) == 1:
+            # Degenerate: the single trainable episode serves both splits
+            # (train must keep at least one window-bearing row or the fit's
+            # window guard would refuse it).
+            val_rows = ok
+            train_rows = np.concatenate([ok, short])
+        else:
+            n_val = max(int(len(rows) * cfg.val_split_ratio), 1)
+            n_val = min(n_val, len(ok) - 1)
+            val_rows = ok[:n_val]
+            train_rows = np.concatenate([ok[n_val:], short])
         train_mask = jnp.zeros((self.replay.num_rows,), bool).at[train_rows].set(True)
         val_mask = jnp.zeros((self.replay.num_rows,), bool).at[val_rows].set(True)
 
@@ -692,8 +703,14 @@ class PDEModelBasedController:
                 key, ke = jax.random.split(key)
                 env_action = tr.agent_to_env_action(agent.action_at(t))
                 waction = tr.env_action_to_world(env_action)
+                # Emit the PRE-advance obs: prediction i is the model's
+                # frame tau+i, starting with the warm-start reset prediction
+                # (frame tau) — the reference worker stores the world env's
+                # pre-step obs the same way (reset output first), so
+                # prediction i and truth frame tau+i align (mbrl.py:508-517).
+                prev_obs = state.obs[0]
                 state, reward = world.advance(ke, state, ens, waction, tr)
-                return (state, key), (state.obs[0], reward[0])
+                return (state, key), (prev_obs, reward[0])
 
             (_, _), (preds, rpred) = jax.lax.scan(
                 body, (state, kloop), tau + jnp.arange(horizon)
@@ -738,6 +755,9 @@ class PDEModelBasedController:
         row = int(rows[int(jax.device_get(
             jax.random.randint(kr, (), 0, len(rows))
         ))])
+        # Exclusive upper bound matches the reference's
+        # np.random.randint(0, length - tau - horizon) (mbrl.py:485);
+        # the max(., 1) guard admits rows with exactly tau+horizon steps.
         hi = max(int(fill[row]) - tau - horizon, 1)
         start = int(jax.device_get(jax.random.randint(ks, (), 0, hi)))
 

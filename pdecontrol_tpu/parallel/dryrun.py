@@ -24,11 +24,16 @@ def provision_virtual_devices(n_devices: int) -> None:
     lazily, so flipping the config flag (plus XLA_FLAGS, which XLA reads at
     backend-init time) reliably selects an ``n_devices``-wide CPU mesh.
     """
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
+    # Replace any pre-existing count rather than silently keeping it — a
+    # parent shell exporting a smaller count would otherwise produce an
+    # opaque device-count mismatch when the mesh is built.
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

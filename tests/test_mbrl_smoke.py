@@ -166,3 +166,54 @@ def test_sequential_member_training_path(tmp_path):
     ctl.learn()
     assert ctl.num_ensemble_updates >= 1
     assert int(jax.device_get(ctl.replay.total_steps)) == 16
+
+
+def test_open_loop_eval_alignment(tmp_path):
+    """preds[0] of the open-loop surrogate eval is the warm-start reset
+    prediction (frame tau) and truth[0] is the logged frame tau — the
+    reference comparison alignment (mbrl.py:508-517), guarding against the
+    one-step shift of scoring post-advance frames against pre-step truth."""
+    import jax.numpy as jnp
+
+    from pdecontrol_tpu.data.types import Sample
+
+    cfg = _tiny_config(tmp_path, total_timesteps=16)
+    ctl = PDEModelBasedController(cfg)
+    ctl.learn()
+
+    horizon, tau = 4, ctl.tau
+    fill = np.asarray(jax.device_get(ctl.replay.fill))
+    complete = np.asarray(jax.device_get(ctl.replay.complete))
+    rows = np.where(complete & (fill >= tau + horizon))[0]
+    assert len(rows) > 0
+    row = int(rows[0])
+
+    key = jax.random.PRNGKey(3)
+    out = ctl._sur_eval_fn(horizon)(
+        key, ctl.ensemble, ctl.replay, ctl.tr,
+        jnp.asarray(row, jnp.int32), jnp.asarray(0, jnp.int32),
+    )
+
+    idx = jnp.arange(tau + horizon)
+    one = lambda x: x[row, idx][None]
+    sample = Sample(
+        obs=one(ctl.replay.obs_seq), actions=one(ctl.replay.actions),
+        nxtobs=ctl.replay.obs_seq[row, idx + 1][None],
+        rewards=one(ctl.replay.rewards), terminated=one(ctl.replay.terminated),
+        truncated=one(ctl.replay.truncated), steps=one(ctl.replay.steps),
+    )
+    wsample = ctl.tr.replay_to_world(sample)
+
+    # Same kwarm stream as _sur_eval_fn's reset.
+    kwarm, _ = jax.random.split(key)
+    warm = jax.tree.map(lambda x: x[:, :tau], wsample)
+    st = ctl.world.reset_from_batch(kwarm, ctl.ensemble, warm, ctl.tr)
+
+    np.testing.assert_allclose(
+        np.asarray(out["preds"][0]), np.asarray(jax.device_get(st.obs[0])),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["truth"][0]),
+        np.asarray(jax.device_get(wsample.obs[0, tau])), rtol=1e-6,
+    )
