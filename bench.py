@@ -5,9 +5,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 value        = agent env-steps/sec (each = one full control period: 250 RK4
                sub-steps x 4 RHS evals on N=64, the reference's per-step
                cost, kuramoto.py:83-90) across a vectorised batch on one TPU
-               chip, at full float32 fidelity (lane-packed Pallas kernel,
-               HIGHEST-precision matmuls).  Median over BENCH_REPEATS
-               repeated measurements; the spread is reported alongside.
+               chip, at full float32 fidelity.  Measured THROUGH THE PRODUCT
+               ENV API — ``KuramotoSivashinsky.step`` with
+               ``solver="pallas_packed"`` (lane-packed fused Pallas kernel,
+               HIGHEST-precision matmuls) — so the headline is a rate the
+               framework itself delivers, forcing matmul and reward
+               included.  Median over BENCH_REPEATS repeated measurements;
+               the spread is reported alongside.
 vs_baseline  = speedup over the reference-equivalent NumPy/SciPy integrator
                measured on this host, scaled by the reference's 10
                env-worker processes (--cpus default, script.py:33), i.e.
@@ -17,14 +21,18 @@ mfu          = headline-rate hardware matmul FLOP/s over the chip's peak
                x 4 RHS evals x (one [*, 2N]x[2N, 2N] linear-term matmul +
                one [*, 2N]x[2N, 4N] upwind matmul per packed row pair),
                times the matmul pass count (fp32 HIGHEST = 6 bf16 passes).
-               This is the auditable basis for the v5e-8 extrapolation
-               (single chip x 8; multi-chip hardware is not available here —
-               the mesh path is validated separately by dryrun_multichip).
+               Only reported when the headline actually ran the packed
+               HIGHEST kernel (the closed form doesn't describe the XLA
+               fallback's pass structure).  This is the auditable basis for
+               the v5e-8 extrapolation (single chip x 8; multi-chip hardware
+               is not available here — the mesh path is validated separately
+               by dryrun_multichip).
 
-Secondary JSON fields: bf16_3x packed kernel (3-pass bfloat16, ~1.5e-3
-relative per period — statistics-faithful), pure-XLA path, surrogate TBPTT
-train-steps/s, SAC updates/s.  The scipy-oracle and native C++ integrator
-rates go to stderr.
+Secondary JSON fields (all through env.step as well): bf16_3x packed solver
+(3-pass bfloat16, ~1.5e-3 relative per period — statistics-faithful,
+attractor-gated by tests/test_bf16_fidelity.py), unpacked pallas solver,
+pure-XLA solver, surrogate TBPTT train-steps/s, SAC updates/s.  The
+scipy-oracle and native C++ integrator rates go to stderr.
 """
 
 import json
@@ -36,27 +44,29 @@ import time
 import numpy as np
 
 
-def _time_once(fn, x0, phi, iters):
+def _time_once(step, state0, action, iters):
     import jax
 
-    x = x0
+    state = state0
     t0 = time.perf_counter()
     for _ in range(iters):
-        x, r = fn(x, phi)
-    jax.block_until_ready(x)
+        state, out = step(state, action)
+    jax.block_until_ready(state.u)
     return (time.perf_counter() - t0) / iters
 
 
-def _measure(fn, u, phi, iters, repeats):
-    """Median + spread of steps/sec over ``repeats`` measurements."""
+def _measure(step, state0, action, iters, repeats):
+    """Median + spread of env-steps/sec over ``repeats`` measurements,
+    driven through the jitted ``env.step`` product path."""
     import jax
 
-    x, r = fn(u, phi)  # compile + warm
-    jax.block_until_ready(x)
+    state, out = step(state0, action)  # compile + warm
+    jax.block_until_ready(state.u)
+    batch = state.u.shape[0]
     rates = []
     for _ in range(repeats):
-        dt = _time_once(fn, u, phi, iters)
-        rates.append(u.shape[0] / dt)
+        dt = _time_once(step, state0, action, iters)
+        rates.append(batch / dt)
     return rates
 
 
@@ -90,44 +100,43 @@ def peak_bf16_flops() -> float:
 
 
 def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
+    """Measure every solver backend through the product env API:
+    ``KuramotoSivashinsky.create(solver=...)`` + jitted ``env.step``."""
     import jax
     import jax.numpy as jnp
 
-    from pdecontrol_tpu.envs.kuramoto import KuramotoSivashinsky
+    from pdecontrol_tpu.envs.kuramoto import EnvState, KuramotoSivashinsky
 
-    env = KuramotoSivashinsky.create(dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
-    u = jax.random.uniform(key, (batch, env.n), minval=-1.0, maxval=1.0)
-    phi = jnp.zeros((batch, env.n), jnp.float32)
+    ku, ka, ks = jax.random.split(key, 3)
 
+    variants = [
+        ("pallas_packed_highest", "pallas_packed", "highest"),
+        ("pallas_packed_bf16_3x", "pallas_packed", "bf16_3x"),
+        ("pallas", "pallas", "highest"),
+        ("xla", "xla", "highest"),
+    ]
     results = {}
-
-    try:
-        from pdecontrol_tpu.ops.pallas_ks_packed import ks_control_period_packed
-
-        for prec in ("highest", "bf16_3x"):
-            rates = _measure(
-                lambda u, phi, p=prec: ks_control_period_packed(
-                    env.ops, u, phi, env.dt, env.cfg_steps, block=1024,
-                    precision=p,
-                ),
-                u, phi, iters, repeats,
+    for name, solver, prec in variants:
+        try:
+            env = KuramotoSivashinsky.create(
+                dtype=jnp.float32, solver=solver, pallas_precision=prec
             )
-            results[f"pallas_packed_{prec}"] = rates
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] packed pallas unavailable: {e}", file=sys.stderr)
-
-    try:
-        from pdecontrol_tpu.ops.kuramoto import ks_control_period
-
-        f = jax.jit(
-            lambda u, phi: ks_control_period(
-                env.ops, u, phi, env.dt, env.cfg_steps, "l2control"
+            state0 = EnvState(
+                u=jax.random.uniform(ku, (batch, env.n), minval=-1.0,
+                                     maxval=1.0, dtype=jnp.float32),
+                step=jnp.zeros((batch,), jnp.int32),
+                key=ks,
             )
-        )
-        results["xla"] = _measure(f, u, phi, iters, repeats)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] xla path failed: {e}", file=sys.stderr)
+            action = jax.random.uniform(
+                ka, (batch, 1, env.num_jets), minval=-1.0, maxval=1.0,
+                dtype=jnp.float32,
+            )
+            step = jax.jit(env.step)
+            results[name] = _measure(step, state0, action, iters, repeats)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] env solver {name} unavailable: {e}",
+                  file=sys.stderr)
 
     return results
 
@@ -306,14 +315,18 @@ def main():
     spread = (max(results[headline_key]) - min(results[headline_key])
               if headline_key in results else 0.0)
 
+    # MFU's closed-form FLOP count describes the packed HIGHEST kernel's
+    # pass structure only — skip it when the headline fell back to XLA
+    # (advisor r2: a fallback run must not report a misleading figure).
     mfu = None
     peak = None
-    try:
-        peak = peak_bf16_flops()
-        if peak and headline:
-            mfu = headline * ks_flops_per_step(passes=6) / peak
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] mfu estimate failed: {e}", file=sys.stderr)
+    if headline_key == "pallas_packed_highest":
+        try:
+            peak = peak_bf16_flops()
+            if peak and headline:
+                mfu = headline * ks_flops_per_step(passes=6) / peak
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] mfu estimate failed: {e}", file=sys.stderr)
 
     ref_equivalent = 10.0 * oracle_sps
     out = {
@@ -326,10 +339,12 @@ def main():
         "mfu": round(mfu, 3) if mfu is not None else None,
         "peak_bf16_flops": peak,
         "bf16_3x": round(medians.get("pallas_packed_bf16_3x", 0.0), 1),
+        "pallas": round(medians.get("pallas", 0.0), 1),
         "xla": round(medians.get("xla", 0.0), 1),
         **secondaries,
-        "note": ("single-chip measurement; the >=1e6 steps/s v5e-8 target "
-                 "is an 8x extrapolation audited via the mfu field — "
+        "note": ("all solver rates measured through env.step (the product "
+                 "API); single-chip measurement; the >=1e6 steps/s v5e-8 "
+                 "target is an 8x extrapolation audited via the mfu field — "
                  "multi-chip execution is validated by dryrun_multichip"),
     }
     print(json.dumps(out))

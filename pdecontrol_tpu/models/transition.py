@@ -79,18 +79,41 @@ class LSTMCell(TransitionCell):
         return (h, c), out
 
 
+def _fused_gate_bias(schannels: int):
+    """Bias init for the fused gate conv: gate order (i, f, c, o) with the
+    output-gate block at 1.0 and the rest at 0 (transition.py:213-216)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == (4 * schannels,)
+        return jnp.concatenate(
+            [jnp.zeros((3 * schannels,), dtype), jnp.ones((schannels,), dtype)]
+        )
+
+    return init
+
+
 class CNNLSTMCell(TransitionCell):
     """Convolutional LSTM over the periodic spatial axis (reference
     ``CNNLSTMCell``/``CNNLSTMTransitionModel``, transition.py:112-296).
 
-    Four x-convs (with bias; output-gate bias initialised to 1.0, the others
-    to 0 — transition.py:213-216) and four h-convs (no bias), all circular,
-    kernel 3.  Latents are ``[B, C, H]``; internally NWC.
+    Gate math: four x-convs (with bias; output-gate bias initialised to 1.0,
+    the others to 0 — transition.py:213-216) and four h-convs (no bias), all
+    circular, kernel 3.  Latents are ``[B, C, H]``; internally NWC.
+
+    ``fused=True`` (default) issues the gates as ONE 4x-output-channel x-conv
+    plus ONE 4x-output-channel h-conv and splits into (i, f, c, o) blocks —
+    mathematically identical per output channel (each output channel of a
+    conv is an independent reduction over the same inputs), but one MXU pass
+    instead of eight small ones; this is the standard LSTM kernel fusion.
+    ``fused=False`` keeps the eight per-gate convs for the equivalence test
+    (tests/test_surrogate.py::test_fused_cnn_lstm_cell_equivalence).
     """
 
     schannels: int = 16
     ssize: int = 16
     kernel_size: int = 3
+    fused: bool = True
     needs_prev_latent: bool = False
 
     def init_carry(self, batch: int, dtype=jnp.float32) -> Carry:
@@ -108,35 +131,79 @@ class CNNLSTMCell(TransitionCell):
         x_ = jnp.swapaxes(laction, -1, -2)
         h_ = jnp.swapaxes(h, -1, -2)
 
-        def xconv(name, bias_init):
-            return nn.Conv(
-                self.schannels,
+        if self.fused:
+            gx = nn.Conv(
+                4 * self.schannels,
                 (self.kernel_size,),
                 padding="CIRCULAR",
                 use_bias=True,
-                bias_init=bias_init,
-                name=name,
+                bias_init=_fused_gate_bias(self.schannels),
+                name="wx",
             )(x_)
-
-        def hconv(name):
-            return nn.Conv(
-                self.schannels,
+            gh = nn.Conv(
+                4 * self.schannels,
                 (self.kernel_size,),
                 padding="CIRCULAR",
                 use_bias=False,
-                name=name,
+                name="wh",
             )(h_)
+            gi, gf, gc, go = jnp.split(gx + gh, 4, axis=-1)
+            ci, cf, co = nn.sigmoid(gi), nn.sigmoid(gf), nn.sigmoid(go)
+            cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(gc)
+            ch = co * jnp.tanh(cc)
+        else:
+            def xconv(name, bias_init):
+                return nn.Conv(
+                    self.schannels,
+                    (self.kernel_size,),
+                    padding="CIRCULAR",
+                    use_bias=True,
+                    bias_init=bias_init,
+                    name=name,
+                )(x_)
 
-        zeros, ones = nn.initializers.zeros, nn.initializers.ones
-        ci = nn.sigmoid(xconv("wxi", zeros) + hconv("whi"))
-        cf = nn.sigmoid(xconv("wxf", zeros) + hconv("whf"))
-        cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(xconv("wxc", zeros) + hconv("whc"))
-        co = nn.sigmoid(xconv("wxo", ones) + hconv("who"))
-        ch = co * jnp.tanh(cc)
+            def hconv(name):
+                return nn.Conv(
+                    self.schannels,
+                    (self.kernel_size,),
+                    padding="CIRCULAR",
+                    use_bias=False,
+                    name=name,
+                )(h_)
+
+            zeros, ones = nn.initializers.zeros, nn.initializers.ones
+            ci = nn.sigmoid(xconv("wxi", zeros) + hconv("whi"))
+            cf = nn.sigmoid(xconv("wxf", zeros) + hconv("whf"))
+            cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(
+                xconv("wxc", zeros) + hconv("whc")
+            )
+            co = nn.sigmoid(xconv("wxo", ones) + hconv("who"))
+            ch = co * jnp.tanh(cc)
 
         h = jnp.swapaxes(ch, -1, -2)
         c = jnp.swapaxes(cc, -1, -2)
         return (h, c), h
+
+
+def fuse_cnn_lstm_params(unfused: dict) -> dict:
+    """Map an unfused CNNLSTMCell param subtree (wxi/wxf/wxc/wxo +
+    whi/whf/whc/who) onto the fused layout (wx/wh) by concatenating kernels
+    and biases along the output-channel axis in gate order (i, f, c, o)."""
+    gates = ("i", "f", "c", "o")
+    wx = {
+        "kernel": jnp.concatenate(
+            [unfused[f"wx{g}"]["kernel"] for g in gates], axis=-1
+        ),
+        "bias": jnp.concatenate(
+            [unfused[f"wx{g}"]["bias"] for g in gates], axis=-1
+        ),
+    }
+    wh = {
+        "kernel": jnp.concatenate(
+            [unfused[f"wh{g}"]["kernel"] for g in gates], axis=-1
+        ),
+    }
+    return {"wx": wx, "wh": wh}
 
 
 class DelayCell(TransitionCell):

@@ -11,7 +11,8 @@ array bit-for-bit, this kernel reinterprets the state so that
   * derivative matmuls use block-diagonal packed operators
     (``[128, 128]`` linear term, ``[128, 256]`` upwind term) — the same
     useful FLOPs as the unpacked fused operator,
-  * the per-row reward reduces the two lane halves separately.
+  * the per-row reward (either objective; dissipation adds one packed
+    u_xx matmul per sub-step) reduces the two lane halves separately.
 
 Matmul precision is selectable:
   * ``"highest"`` — 6-pass float32 (bit-comparable to the XLA path),
@@ -31,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pdecontrol_tpu.ops.kuramoto import L2CONTROL, KSOperators
+from pdecontrol_tpu.ops.kuramoto import DISSIPATION, L2CONTROL, KSOperators
 
 Array = jax.Array
 
@@ -59,6 +60,17 @@ def packed_matrices(ops: KSOperators) -> Tuple[np.ndarray, np.ndarray]:
     w_up[:n, 2 * n : 3 * n] = up[:, n:]  # bwd, even row
     w_up[n:, 3 * n :] = up[:, n:]  # bwd, odd row
     return w_lin, w_up
+
+
+def packed_uxx_matrix(ops: KSOperators) -> np.ndarray:
+    """Packed ``[2N, 2N]`` block-diagonal u_xx operator — only needed by the
+    dissipation objective, which scores mean(u_xx^2) on the pre-step state."""
+    n = ops.n
+    cen = np.asarray(ops.central, np.float64)
+    w = np.zeros((2 * n, 2 * n), np.float32)
+    w[:n, :n] = cen[:, :n]
+    w[n:, n:] = cen[:, :n]
+    return w
 
 
 def _make_dot(precision: str):
@@ -104,12 +116,14 @@ def _make_dot(precision: str):
     raise ValueError(f"unknown precision {precision!r}")
 
 
-def _kernel(u_ref, phi_ref, wl_ref, wu_ref, wl_lo_ref, wu_lo_ref,
-            u_out_ref, rew_out_ref, *, n, dt, cfg_steps, objective, precision):
+def _kernel(u_ref, phi_ref, wl_ref, wu_ref, wl_lo_ref, wu_lo_ref, wxx_ref,
+            wxx_lo_ref, u_out_ref, rew_out_ref, *, n, dt, cfg_steps,
+            objective, precision):
     x = u_ref[:]  # [Bt/2, 2N] packed
     phi = phi_ref[:]
     wl, wu = wl_ref[:], wu_ref[:]
     wl_lo, wu_lo = wl_lo_ref[:], wu_lo_ref[:]
+    wxx, wxx_lo = wxx_ref[:], wxx_lo_ref[:]
     dot = _make_dot(precision)
 
     def rhs(x):
@@ -127,8 +141,15 @@ def _kernel(u_ref, phi_ref, wl_ref, wu_ref, wl_lo_ref, wu_lo_ref,
 
     def body(_, carry):
         x, acc = carry
-        acc = acc - halves_mean(x * x)  # l2control on the pre-step state
-        k1, _, _ = rhs(x)
+        # Reward on the pre-step state (kuramoto.py:82-96).
+        k1, ux, _ = rhs(x)
+        if objective == L2CONTROL:
+            r = -halves_mean(x * x)
+        else:  # DISSIPATION: -(mean(u_xx^2) + mean(u_x^2) + mean(u*phi))
+            uxx = dot(x, wxx, wxx_lo)
+            r = -(halves_mean(uxx * uxx) + halves_mean(ux * ux)
+                  + halves_mean(x * phi))
+        acc = acc + r
         k2, _, _ = rhs(x + dt * k1 / 2.0)
         k3, _, _ = rhs(x + dt * k2 / 2.0)
         k4, _, _ = rhs(x + dt * k3)
@@ -143,10 +164,11 @@ def _kernel(u_ref, phi_ref, wl_ref, wu_ref, wl_lo_ref, wu_lo_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "cfg_steps", "objective", "block", "precision"),
+    static_argnames=("dt", "cfg_steps", "objective", "block", "precision",
+                     "interpret"),
 )
-def _call(u2, phi2, wl, wu, wl_lo, wu_lo, dt, cfg_steps, objective, block,
-          precision):
+def _call(u2, phi2, wl, wu, wl_lo, wu_lo, wxx, wxx_lo, dt, cfg_steps,
+          objective, block, precision, interpret):
     b2, n2 = u2.shape
     n = n2 // 2
     grid = (b2 // block,)
@@ -164,6 +186,8 @@ def _call(u2, phi2, wl, wu, wl_lo, wu_lo, dt, cfg_steps, objective, block,
             pl.BlockSpec(wu.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wl.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wu.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wxx.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wxx.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((block, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -173,7 +197,8 @@ def _call(u2, phi2, wl, wu, wl_lo, wu_lo, dt, cfg_steps, objective, block,
             jax.ShapeDtypeStruct((b2, n2), jnp.float32),
             jax.ShapeDtypeStruct((b2, 2), jnp.float32),
         ],
-    )(u2, phi2, wl, wu, wl_lo, wu_lo)
+        interpret=interpret,
+    )(u2, phi2, wl, wu, wl_lo, wu_lo, wxx, wxx_lo)
     return u_out, rew
 
 
@@ -186,19 +211,22 @@ def ks_control_period_packed(
     objective: str = L2CONTROL,
     block: int = 1024,
     precision: str = "highest",
+    interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Packed fused control period (l2control objective only; the general
-    kernel in ``pallas_ks`` covers dissipation)."""
-    if objective != L2CONTROL:
-        raise NotImplementedError("packed kernel supports l2control only")
+    """Packed fused control period, both objectives (dissipation adds one
+    packed u_xx matmul per sub-step on the pre-step state)."""
+    if objective not in (L2CONTROL, DISSIPATION):
+        raise ValueError(f"unknown objective {objective!r}")
     b, n = u.shape
     if b % 2:
         raise ValueError("batch must be even for lane packing")
     wl, wu = packed_matrices(ops)
     wl = jnp.asarray(wl)
     wu = jnp.asarray(wu)
+    wxx = jnp.asarray(packed_uxx_matrix(ops))
     wl_lo = wl - wl.astype(jnp.bfloat16).astype(jnp.float32)
     wu_lo = wu - wu.astype(jnp.bfloat16).astype(jnp.float32)
+    wxx_lo = wxx - wxx.astype(jnp.bfloat16).astype(jnp.float32)
 
     u2 = u.astype(jnp.float32).reshape(b // 2, 2 * n)
     phi2 = jnp.broadcast_to(phi, u.shape).astype(jnp.float32).reshape(
@@ -207,6 +235,6 @@ def ks_control_period_packed(
     block = min(block, u2.shape[0])
     while u2.shape[0] % block != 0:
         block //= 2
-    u_out, rew = _call(u2, phi2, wl, wu, wl_lo, wu_lo, dt, cfg_steps,
-                       objective, block, precision)
+    u_out, rew = _call(u2, phi2, wl, wu, wl_lo, wu_lo, wxx, wxx_lo, dt,
+                       cfg_steps, objective, block, precision, interpret)
     return u_out.reshape(b, n), rew.reshape(b)

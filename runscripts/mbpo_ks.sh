@@ -1,5 +1,7 @@
 #!/bin/bash
 # ECC'24 MBRL experiment (reference README.md:33-46 configuration).
+# Pass `--solver pallas_packed` to run the env hot loop through the fused
+# lane-packed Pallas kernel (the bench headline path) instead of XLA.
 set -e
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}"
 cd "$(dirname "$0")/.."

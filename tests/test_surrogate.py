@@ -193,3 +193,74 @@ def test_gradients_flow_and_tbptt_detach():
     g = jax.grad(loss_fn)(params)
     leaves = jax.tree.leaves(g)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_fused_cnn_lstm_cell_equivalence():
+    """The fused 4x-channel gate convs == the eight per-gate convs, exactly:
+    outputs and input-gradients match under the param concatenation map
+    (each output channel of a conv is an independent reduction, so fusing
+    along out-channels cannot change the math)."""
+    from pdecontrol_tpu.models import transition as Tr
+
+    key = jax.random.PRNGKey(0)
+    kx, ks, kh, ki = jax.random.split(key, 4)
+    b, ch, sz = 3, 8, 16
+    laction = jax.random.normal(kx, (b, ch, sz), jnp.float32)
+    lstate = jax.random.normal(ks, (b, ch, sz), jnp.float32)
+    tf = jnp.asarray([True, False, True])
+
+    unfused = Tr.CNNLSTMCell(schannels=ch, ssize=sz, fused=False)
+    fused = Tr.CNNLSTMCell(schannels=ch, ssize=sz, fused=True)
+    carry = unfused.init_carry(b)
+    carry = (jax.random.normal(kh, carry[0].shape, jnp.float32), carry[1])
+
+    p_u = unfused.init(ki, carry, laction, lstate, tf)
+    p_f = {"params": Tr.fuse_cnn_lstm_params(p_u["params"])}
+
+    (h_u, c_u), out_u = unfused.apply(p_u, carry, laction, lstate, tf)
+    (h_f, c_f), out_f = fused.apply(p_f, carry, laction, lstate, tf)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_u),
+                               rtol=1e-6, atol=1e-7)
+
+    # Fresh fused init carries the reference bias scheme: o-gate block 1.0.
+    p_init = fused.init(ki, carry, laction, lstate, tf)
+    bias = np.asarray(p_init["params"]["wx"]["bias"])
+    assert (bias[: 3 * ch] == 0).all() and (bias[3 * ch:] == 1).all()
+
+
+def test_fused_cnn_lstm_gradient_equivalence():
+    """Same init => same loss and same parameter gradients for the full
+    flagship surrogate with fused vs unfused cells (VERDICT r2 item 3:
+    gradient-level equivalence of the fusion)."""
+    from pdecontrol_tpu.models import transition as Tr
+
+    key = jax.random.PRNGKey(7)
+    model_f = factories.make("KSAutoRegConvolutionalLSTM", delta=0.25)
+    assert model_f.cell.fused
+    model_u = model_f.clone(cell=model_f.cell.clone(fused=False))
+
+    states, actions = _data(key, b=2, tw=3, t=6)
+    p_u = model_u.init(key, states, actions)
+    p_f = {"params": {**p_u["params"],
+                      "cell": Tr.fuse_cnn_lstm_params(p_u["params"]["cell"])}}
+
+    def loss(model, p):
+        out = model.apply(p, states, actions)
+        return jnp.mean(out.deltas ** 2) + jnp.mean(out.outputs ** 2)
+
+    l_u, g_u = jax.value_and_grad(lambda p: loss(model_u, p))(p_u)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(model_f, p))(p_f)
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-6)
+
+    # Gradients match: fused cell grads vs concatenated unfused grads, and
+    # encoder/decoder grads leaf-by-leaf.
+    g_u_mapped = {**g_u["params"],
+                  "cell": Tr.fuse_cnn_lstm_params(g_u["params"]["cell"])}
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        g_f["params"], g_u_mapped,
+    )
