@@ -141,9 +141,12 @@ def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
     return results
 
 
-def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 20) -> float:
+def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 40,
+               repeats: int = 3) -> float:
     """Secondary: surrogate TBPTT training steps/sec (BASELINE.md 'also
-    tracked') on the flagship conv-LSTM at the reference's tau/tbtt."""
+    tracked') on the flagship conv-LSTM at the reference's tau/tbtt.
+    Median of ``repeats`` — per-step time is ~5 ms, so tunnel dispatch
+    jitter is material; a single run can swing +-20%."""
     import jax
     import jax.numpy as jnp
 
@@ -168,11 +171,14 @@ def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 20) -> float:
     )
     tstate = step(tstate)
     jax.block_until_ready(tstate.params)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        tstate = step(tstate)
-    jax.block_until_ready(tstate.params)
-    return iters / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tstate = step(tstate)
+        jax.block_until_ready(tstate.params)
+        rates.append(iters / (time.perf_counter() - t0))
+    return statistics.median(rates)
 
 
 def bench_sac(batch: int = 256, iters: int = 50, chain: int = 100) -> float:

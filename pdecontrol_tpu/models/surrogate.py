@@ -117,6 +117,12 @@ class PDESurrogate(nn.Module):
 
         lstates = batched_apply(self.state_encoder, states)
         lactions = batched_apply(self.action_encoder, actions)
+        # NOTE (measured, r3): hoisting the carry-independent input-gate
+        # projections out of the scan (the cuDNN-LSTM trick) LOSES ~35%
+        # TBPTT throughput at this model size — the 4x-larger per-step xs
+        # slice plus its saved residuals cost more HBM traffic than the tiny
+        # in-scan x-conv saves (136 vs 216 train_steps/s on v5e).  Keep the
+        # projections in-scan.
 
         pad = t_total - tw
         if pad > 0:

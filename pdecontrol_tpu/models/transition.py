@@ -58,25 +58,32 @@ class LSTMCell(TransitionCell):
         z = jnp.zeros((batch, self.hidden_size), dtype)
         return (z, z)
 
-    @nn.compact
-    def __call__(
-        self, carry: Carry, laction: Array, lstate: Array, tf: Array
+    def setup(self):
+        # Standard LSTM gate math (torch nn.LSTM parameterisation).
+        self.wx = nn.Dense(4 * self.hidden_size)
+        self.wh = nn.Dense(4 * self.hidden_size, use_bias=False)
+
+    def step_pre(
+        self, carry: Carry, gx: Array, lstate: Array, tf: Array
     ) -> Tuple[Carry, Array]:
         h, c = carry
-        b = laction.shape[0]
-        x = laction.reshape(b, -1)
+        b = gx.shape[0]
         forced = lstate.reshape(b, -1)
         h = jnp.where(jnp.reshape(tf, (-1, 1)), forced, h)
 
-        # Standard LSTM gate math (torch nn.LSTM parameterisation).
-        gates = nn.Dense(4 * self.hidden_size, name="wx")(x) + nn.Dense(
-            4 * self.hidden_size, use_bias=False, name="wh"
-        )(h)
+        gates = gx + self.wh(h)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h = nn.sigmoid(o) * jnp.tanh(c)
         out = h.reshape(b, self.schannels, self.ssize)
         return (h, c), out
+
+    def __call__(
+        self, carry: Carry, laction: Array, lstate: Array, tf: Array
+    ) -> Tuple[Carry, Array]:
+        b = laction.shape[0]
+        return self.step_pre(carry, self.wx(laction.reshape(b, -1)),
+                             lstate, tf)
 
 
 def _fused_gate_bias(schannels: int):
@@ -120,69 +127,62 @@ class CNNLSTMCell(TransitionCell):
         z = jnp.zeros((batch, self.schannels, self.ssize), dtype)
         return (z, z)
 
-    @nn.compact
+    def setup(self):
+        def conv(feats, **kw):
+            return nn.Conv(feats, (self.kernel_size,), padding="CIRCULAR",
+                           **kw)
+
+        if self.fused:
+            self.wx = conv(4 * self.schannels, use_bias=True,
+                           bias_init=_fused_gate_bias(self.schannels))
+            self.wh = conv(4 * self.schannels, use_bias=False)
+        else:
+            zeros, ones = nn.initializers.zeros, nn.initializers.ones
+            for g, binit in (("i", zeros), ("f", zeros), ("c", zeros),
+                             ("o", ones)):
+                setattr(self, f"wx{g}",
+                        conv(self.schannels, use_bias=True, bias_init=binit))
+                setattr(self, f"wh{g}", conv(self.schannels, use_bias=False))
+
+    def step_pre(
+        self, carry: Carry, gx: Array, lstate: Array, tf: Array
+    ) -> Tuple[Carry, Array]:
+        """One gate update from precomputed NWC x-gates ``gx`` [B, H, 4C]."""
+        h, c = carry
+        h = jnp.where(jnp.reshape(tf, (-1, 1, 1)), lstate, h)
+        h_ = jnp.swapaxes(h, -1, -2)
+
+        gi, gf, gc, go = jnp.split(gx + self.wh(h_), 4, axis=-1)
+        ci, cf, co = nn.sigmoid(gi), nn.sigmoid(gf), nn.sigmoid(go)
+        cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(gc)
+        ch = co * jnp.tanh(cc)
+        return (jnp.swapaxes(ch, -1, -2), jnp.swapaxes(cc, -1, -2)), \
+            jnp.swapaxes(ch, -1, -2)
+
     def __call__(
         self, carry: Carry, laction: Array, lstate: Array, tf: Array
     ) -> Tuple[Carry, Array]:
-        h, c = carry
-        h = jnp.where(jnp.reshape(tf, (-1, 1, 1)), lstate, h)
-
-        # NWC for the convs.
-        x_ = jnp.swapaxes(laction, -1, -2)
-        h_ = jnp.swapaxes(h, -1, -2)
+        x_ = jnp.swapaxes(laction, -1, -2)  # NWC for the convs
 
         if self.fused:
-            gx = nn.Conv(
-                4 * self.schannels,
-                (self.kernel_size,),
-                padding="CIRCULAR",
-                use_bias=True,
-                bias_init=_fused_gate_bias(self.schannels),
-                name="wx",
-            )(x_)
-            gh = nn.Conv(
-                4 * self.schannels,
-                (self.kernel_size,),
-                padding="CIRCULAR",
-                use_bias=False,
-                name="wh",
-            )(h_)
-            gi, gf, gc, go = jnp.split(gx + gh, 4, axis=-1)
-            ci, cf, co = nn.sigmoid(gi), nn.sigmoid(gf), nn.sigmoid(go)
-            cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(gc)
-            ch = co * jnp.tanh(cc)
-        else:
-            def xconv(name, bias_init):
-                return nn.Conv(
-                    self.schannels,
-                    (self.kernel_size,),
-                    padding="CIRCULAR",
-                    use_bias=True,
-                    bias_init=bias_init,
-                    name=name,
-                )(x_)
+            return self.step_pre(carry, self.wx(x_), lstate, tf)
 
-            def hconv(name):
-                return nn.Conv(
-                    self.schannels,
-                    (self.kernel_size,),
-                    padding="CIRCULAR",
-                    use_bias=False,
-                    name=name,
-                )(h_)
+        h, c = carry
+        h = jnp.where(jnp.reshape(tf, (-1, 1, 1)), lstate, h)
+        h_ = jnp.swapaxes(h, -1, -2)
 
-            zeros, ones = nn.initializers.zeros, nn.initializers.ones
-            ci = nn.sigmoid(xconv("wxi", zeros) + hconv("whi"))
-            cf = nn.sigmoid(xconv("wxf", zeros) + hconv("whf"))
-            cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(
-                xconv("wxc", zeros) + hconv("whc")
-            )
-            co = nn.sigmoid(xconv("wxo", ones) + hconv("who"))
-            ch = co * jnp.tanh(cc)
+        xconv = lambda g: getattr(self, f"wx{g}")(x_)
+        hconv = lambda g: getattr(self, f"wh{g}")(h_)
+        ci = nn.sigmoid(xconv("i") + hconv("i"))
+        cf = nn.sigmoid(xconv("f") + hconv("f"))
+        cc = cf * jnp.swapaxes(c, -1, -2) + ci * jnp.tanh(
+            xconv("c") + hconv("c")
+        )
+        co = nn.sigmoid(xconv("o") + hconv("o"))
+        ch = co * jnp.tanh(cc)
 
-        h = jnp.swapaxes(ch, -1, -2)
-        c = jnp.swapaxes(cc, -1, -2)
-        return (h, c), h
+        return (jnp.swapaxes(ch, -1, -2), jnp.swapaxes(cc, -1, -2)), \
+            jnp.swapaxes(ch, -1, -2)
 
 
 def fuse_cnn_lstm_params(unfused: dict) -> dict:
