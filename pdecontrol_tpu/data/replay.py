@@ -109,17 +109,30 @@ def write_step(
     rows = replay.row_of_env % replay.num_rows
     cols = replay.fill[rows]
 
-    obs_seq = replay.obs_seq.at[rows, cols].set(obs)
-    obs_seq = obs_seq.at[rows, cols + 1].set(nxtobs)
+    # Cast at the write boundary: under jax_enable_x64 callers hand float64
+    # leaves, and scatter dtype mismatch is a FutureWarning today, an error
+    # in a future JAX release.
+    obs_seq = replay.obs_seq.at[rows, cols].set(
+        obs.astype(replay.obs_seq.dtype)
+    )
+    obs_seq = obs_seq.at[rows, cols + 1].set(
+        nxtobs.astype(replay.obs_seq.dtype)
+    )
 
     done = jnp.logical_or(terminated, truncated)
     replay = replay.replace(
         obs_seq=obs_seq,
-        actions=replay.actions.at[rows, cols].set(actions),
-        rewards=replay.rewards.at[rows, cols].set(rewards),
+        actions=replay.actions.at[rows, cols].set(
+            actions.astype(replay.actions.dtype)
+        ),
+        rewards=replay.rewards.at[rows, cols].set(
+            rewards.astype(replay.rewards.dtype)
+        ),
         terminated=replay.terminated.at[rows, cols].set(terminated),
         truncated=replay.truncated.at[rows, cols].set(truncated),
-        steps=replay.steps.at[rows, cols].set(steps),
+        steps=replay.steps.at[rows, cols].set(
+            steps.astype(replay.steps.dtype)
+        ),
         fill=replay.fill.at[rows].set(cols + 1),
         complete=replay.complete.at[rows].set(done),
         total_steps=replay.total_steps + obs.shape[0],

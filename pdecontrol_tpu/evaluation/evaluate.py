@@ -191,6 +191,12 @@ def run_fold(args, data: Dict[str, np.ndarray], train_idx, val_idx, test_idx,
         rep, length, stride=tau,
         rows_mask=jnp.zeros((nrows,), bool).at[jnp.asarray(test_idx)].set(True),
     )
+    if batch.obs.shape[0] == 0:
+        raise ValueError(
+            f"fold {fold}: no test episode admits a length-{length} window "
+            f"(tau={tau} + target_length={args.target_length}); the metric "
+            "battery would be NaN — lower --target_length or the budget"
+        )
     batch = stransf(batch)
     metrics = surrogate_metric_battery(
         module, tstate.params, batch, stransf, undscaling, env, tau

@@ -66,10 +66,6 @@ STATUS_HEADERS = [
 class PDEModelBasedController:
     def __init__(self, config: MBPOConfig, logger: Optional[MetricsLogger] = None):
         self.config = config
-        self.logger = logger or MetricsLogger(config.run_dir, config.use_wandb,
-                                              config.project, config.name,
-                                              config.to_dict(),
-                                              append=config.resume)
         cfg = config
 
         env_cls, make_pool = ENVS[cfg.env_id]
@@ -251,6 +247,7 @@ class PDEModelBasedController:
 
         # Checkpoint / resume (a subsystem the reference lacks; SURVEY §5).
         self.ckpt = None
+        restored = False
         if cfg.checkpoint_freq or cfg.resume:
             from pdecontrol_tpu.utils.checkpoint import CheckpointManager
 
@@ -262,7 +259,17 @@ class PDEModelBasedController:
                 C.load_controller_state(self, state)
                 # Restore mesh placements lost through the checkpoint.
                 self.env_state = self._shard_env_state(self.env_state)
+                restored = True
                 print(f"[resume] restored iteration {self.iteration}")
+
+        # Metrics sink is created LAST so append mode tracks whether a
+        # checkpoint was actually restored — `--resume` with nothing to
+        # restore starts a fresh stream (the old one is backed up by the
+        # logger) instead of appending a restarted run onto it.
+        self.logger = logger or MetricsLogger(config.run_dir, config.use_wandb,
+                                              config.project, config.name,
+                                              config.to_dict(),
+                                              append=restored)
 
     # ------------------------------------------------------------- plumbing
     def _shard_env_state(self, state):

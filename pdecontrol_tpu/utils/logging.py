@@ -22,7 +22,13 @@ class MetricsLogger:
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
         # Fresh runs truncate so a re-run into the same run_dir never mixes
-        # two runs' records; checkpoint-resume passes append=True.
+        # two runs' records; the controller passes append=True only when a
+        # checkpoint was actually restored.  A fresh run into a dir with an
+        # existing stream backs the old file up instead of destroying it.
+        if not append and os.path.exists(self.path) and os.path.getsize(self.path):
+            backup = self.path + f".bak-{int(time.time())}"
+            os.replace(self.path, backup)
+            print(f"[logger] existing metrics stream moved to {backup}")
         self._file = open(self.path, "a" if append else "w", buffering=1)
         self._pending: Dict = {}
         self.summary: Dict = {}

@@ -55,6 +55,35 @@ def test_controller_checkpoint_roundtrip(tmp_path):
     assert ctl2.iteration > it_done
 
 
+def test_metrics_append_tracks_actual_restore(tmp_path):
+    """`--resume` with nothing to restore must NOT append a restarted run
+    onto an old metrics stream, and a fresh rerun into an existing run_dir
+    backs the old stream up instead of destroying it (advisor r2)."""
+    import os
+
+    from pdecontrol_tpu.utils.logging import MetricsLogger
+
+    run_dir = tmp_path / "run"
+    lg = MetricsLogger(str(run_dir))
+    lg.log({"iteration": 7})
+    lg.close() if hasattr(lg, "close") else lg._file.close()
+
+    # Fresh rerun into the same dir: old stream preserved as a backup.
+    lg2 = MetricsLogger(str(run_dir))
+    lg2._file.close()
+    baks = [f for f in os.listdir(run_dir) if f.startswith("metrics.jsonl.bak")]
+    assert len(baks) == 1
+    assert os.path.getsize(run_dir / "metrics.jsonl") == 0
+    assert b'"iteration": 7' in open(run_dir / baks[0], "rb").read()
+
+    # Actual-restore append mode keeps the existing stream.
+    lg3 = MetricsLogger(str(run_dir), append=True)
+    lg3.log({"iteration": 8})
+    lg3._file.close()
+    assert len([f for f in os.listdir(run_dir)
+                if f.startswith("metrics.jsonl.bak")]) == 1
+
+
 def test_viz_smoke():
     from pdecontrol_tpu.viz import plots
 

@@ -4,6 +4,7 @@ losses."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pdecontrol_tpu.data import replay as R
 from pdecontrol_tpu.envs.transforms import Identity, Normalize, SampleTransform
@@ -183,6 +184,36 @@ def test_burgers_phy_loss():
     out = loss(u)
     assert out.shape == (2, 5, 1, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_phy_loss_registry_dispatch():
+    """`--loss PhyPDELoss` is reachable by name (reference getattr lookup,
+    mbrl.py:213) and dispatches on the scenario's PDE family; the KS
+    physics loss runs and is zero on a state evolved by its own Heun step."""
+    from pdecontrol_tpu.train.losses import KSPhyPDELoss
+
+    ks_scn = {"L": 22.0, "N": 64, "dt": 5e-3, "Tmax": 0.25, "Xi": [0.2]}
+    bg_scn = {**ks_scn, "dx": 22.0 / 64, "nu": 0.05}
+    assert isinstance(make_loss("PhyPDELoss", ks_scn), KSPhyPDELoss)
+    assert isinstance(make_loss("PhyPDELoss", bg_scn), BurgersPhyPDELoss)
+    assert isinstance(make_loss("KSPhyPDELoss", ks_scn), KSPhyPDELoss)
+    assert make_loss("MSELoss", ks_scn) is mse_loss
+
+    loss = make_loss("PhyPDELoss", ks_scn)
+    u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (3, 1, 1, 64))
+    # Build a trajectory whose frame t+1 IS the Heun evolution of frame t:
+    # the physics loss must then vanish on every frame but the first
+    # (which is compared against the wrapped-around last frame).
+    frames = [u0]
+    for _ in range(4):
+        frames.append(loss.phyevolve(frames[-1]))
+    traj = jnp.concatenate(frames, axis=1)
+    out = loss(traj)
+    assert out.shape == traj.shape
+    np.testing.assert_allclose(np.asarray(out[:, 1:]), 0.0, atol=1e-10)
+
+    with pytest.raises(KeyError, match="unknown loss"):
+        make_loss("NoSuchLoss", ks_scn)
 
 
 def test_fit_ensemble_vmapped():
