@@ -242,6 +242,7 @@ class PDEModelBasedController:
         self._policy_jit = {}
         self._eval_jit = None
         self._sur_eval_jit = {}
+        self._train_vis_jit = {}
         self._start_time = time.time()
         self.throughput = profiling.Throughput()
 
@@ -522,8 +523,85 @@ class PDEModelBasedController:
         self.ensemble = self.ensemble.replace(params=stacked)
         self.ensemble = update_elites(self.ensemble, jnp.asarray(scores))
         self.num_ensemble_updates += 1
+        self._train_vis(train_mask, val_mask, length0)
         return {"val_loss": float(np.mean(scores)), **logs,
                 "elite_scores": scores}
+
+    def _train_vis_fn(self, length: int):
+        """Jitted window-draw + free-run reconstruction for the train-time
+        plots; cached per window length."""
+        if length in self._train_vis_jit:
+            return self._train_vis_jit[length]
+        module, tau = self.trainer.module, self.trainer.config.tau
+
+        @jax.jit
+        def run(key, params, replay, mask, und, stransf):
+            kb, ki = jax.random.split(key)
+            batch = R.sample_windows(replay, kb, 4, length, rows_mask=mask)
+            batch = stransf(batch)
+            states, actions = batch.obs, batch.actions
+            roll = module.apply(
+                {"params": params}, states[:, :tau], actions, dscaling=und.inv
+            )
+            decoded = jnp.concatenate(
+                [states[:, :1], roll.outputs[:, :-1]], axis=1
+            )
+            # Random sequence of the batch (callbacks.py:62), unscaled to
+            # physical space before plotting (callbacks.py:67-72).
+            i = jax.random.randint(ki, (), 0, states.shape[0])
+            return (
+                stransf.otransf.inverse(states[i]),
+                stransf.otransf.inverse(decoded[i]),
+                stransf.atransf.inverse(actions[i]),
+            )
+
+        self._train_vis_jit[length] = run
+        return self._train_vis_jit[length]
+
+    def _train_vis(self, train_mask, val_mask, length: int) -> None:
+        """Train-time plotting (reference VisCallback, callbacks.py:13-81):
+        after each surrogate retrain (at ``logging_freq`` cadence) plot a
+        random train and val window against its free-run reconstruction —
+        the PDE comparison panels plus the delta heatmaps."""
+        cfg = self.config
+        if cfg.logging_freq <= 0 or (
+            (self.num_ensemble_updates - 1) % cfg.logging_freq
+        ):
+            return
+        try:
+            import os
+
+            from pdecontrol_tpu.viz import plots
+
+            d = os.path.join(cfg.run_dir, "plots")
+            os.makedirs(d, exist_ok=True)
+            params0 = jax.tree.map(lambda x: x[0], self.ensemble.params)
+            run = self._train_vis_fn(length)
+            for stage, mask in (("train", train_mask), ("val", val_mask)):
+                self.key, k = jax.random.split(self.key)
+                obs, opred, acts = jax.device_get(run(
+                    k, params0, self.replay, mask,
+                    self.tr.undscaling, self.tr.replay_to_world,
+                ))
+                obs, opred, acts = (np.asarray(obs), np.asarray(opred),
+                                    np.asarray(acts))
+                img = plots.pdeplot(obs, opred, acts)
+                img.save(os.path.join(
+                    d, f"{stage}_vis_iter{self.iteration}.png"))
+                heat = plots.spatial({
+                    "deltas": np.diff(obs, axis=0),
+                    "outdeltas": np.diff(opred, axis=0),
+                })
+                heat.save(os.path.join(
+                    d, f"{stage}_spatial_iter{self.iteration}.png"))
+                if self.logger.wandb is not None:
+                    self.logger.wandb.log(
+                        {f"{stage}_vis": self.logger.wandb.Image(img),
+                         f"{stage}_spatial": self.logger.wandb.Image(heat)},
+                        commit=False,
+                    )
+        except Exception:  # plotting must never kill training
+            pass
 
     # -------------------------------------------------------- world rollouts
     def _world_fn(self, horizon: int):
@@ -819,8 +897,9 @@ class PDEModelBasedController:
 
         d = os.path.join(self.config.run_dir, "evaluation")
         os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"surrogate_eval_{self.iteration}.npz")
         np.savez_compressed(
-            os.path.join(d, f"surrogate_eval_{self.iteration}.npz"),
+            path,
             states=np.asarray(out["truth"]),
             outputs=np.asarray(out["preds"]),
             actions=np.asarray(out["actions"]),
@@ -828,6 +907,7 @@ class PDEModelBasedController:
             rpred=np.asarray(out["rpred"]),
             hstep_mse=np.asarray(out["hstep"]),
         )
+        self._upload_artifact(path, "surrogate-eval")
         # wandb Table of the h-step battery (EvalLogCallback,
         # callbacks.py:118-134).
         if self.logger.wandb is not None:
@@ -850,13 +930,30 @@ class PDEModelBasedController:
 
         d = os.path.join(self.config.run_dir, "evaluation")
         os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"eval_{self.iteration}.npz")
         # [T, B, ...] -> [B, T, ...] episode-major like the reference dataset.
         np.savez_compressed(
-            os.path.join(d, f"eval_{self.iteration}.npz"),
+            path,
             obs=np.swapaxes(np.asarray(jax.device_get(obs)), 0, 1),
             actions=np.swapaxes(np.asarray(jax.device_get(actions)), 0, 1),
             rewards=np.swapaxes(np.asarray(jax.device_get(rewards)), 0, 1),
         )
+        self._upload_artifact(path, "eval-episodes")
+
+    def _upload_artifact(self, path: str, kind: str) -> None:
+        """wandb Artifact upload of an eval npz (reference EvalLogCallback,
+        callbacks.py:112-117 and mbrl.py:467-472); no-op without wandb."""
+        if self.logger.wandb is None:
+            return
+        try:
+            wb = self.logger.wandb
+            art = wb.Artifact(
+                name=f"{wb.run.id}-{kind}-{self.iteration}", type="dataset"
+            )
+            art.add_file(path)
+            wb.run.log_artifact(art)
+        except Exception:  # artifact logging must never kill training
+            pass
 
     # ------------------------------------------------------------------ main
     def learn(self) -> None:

@@ -92,6 +92,15 @@ def test_mbrl_learn_smoke(tmp_path):
     ep = np.load(os.path.join(eval_dir, sorted(eval_npz)[-1]))
     assert ep["obs"].shape[0] == cfg.num_eval_episodes
 
+    # Train-time VisCallback analogue: every logging_freq-th retrain saves
+    # PDE-comparison + delta-heatmap plots for a train AND a val window
+    # (reference callbacks.py:13-81).
+    plot_dir = os.path.join(cfg.run_dir, "plots")
+    names = os.listdir(plot_dir)
+    for stage in ("train", "val"):
+        assert any(f.startswith(f"{stage}_vis_iter") for f in names), names
+        assert any(f.startswith(f"{stage}_spatial_iter") for f in names), names
+
     # Running obs scaling tightened from its infinite sentinels.
     assert np.isfinite(float(jax.device_get(ctl.tr.oscaling.vmin).squeeze()))
     # Delta normalisation was fitted.
