@@ -28,11 +28,13 @@ mfu          = headline-rate hardware matmul FLOP/s over the chip's peak
                is not available here — the mesh path is validated separately
                by dryrun_multichip).
 
-Secondary JSON fields (all through env.step as well): bf16_3x packed solver
-(3-pass bfloat16, ~1.5e-3 relative per period — statistics-faithful,
-attractor-gated by tests/test_bf16_fidelity.py), unpacked pallas solver,
-pure-XLA solver, surrogate TBPTT train-steps/s, SAC updates/s.  The
-scipy-oracle and native C++ integrator rates go to stderr.
+Secondary JSON fields (all through env.step as well): bf16_3x / bf16_4x
+packed solvers (3-/4-pass bfloat16 limb matmuls with the separate-block
+linear operator — statistics-faithful: both pass the 400-period attractor
+gate, results/bf16_fidelity_{3x,4x}.json, machinery pinned by
+tests/test_bf16_fidelity.py + tests/test_pallas_ks.py), unpacked pallas
+solver, pure-XLA solver, surrogate TBPTT train-steps/s, SAC updates/s.
+The scipy-oracle and native C++ integrator rates go to stderr.
 """
 
 import json
@@ -113,6 +115,7 @@ def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
     variants = [
         ("pallas_packed_highest", "pallas_packed", "highest"),
         ("pallas_packed_bf16_3x", "pallas_packed", "bf16_3x"),
+        ("pallas_packed_bf16_4x", "pallas_packed", "bf16_4x"),
         ("pallas", "pallas", "highest"),
         ("xla", "xla", "highest"),
     ]
@@ -345,6 +348,7 @@ def main():
         "mfu": round(mfu, 3) if mfu is not None else None,
         "peak_bf16_flops": peak,
         "bf16_3x": round(medians.get("pallas_packed_bf16_3x", 0.0), 1),
+        "bf16_4x": round(medians.get("pallas_packed_bf16_4x", 0.0), 1),
         "pallas": round(medians.get("pallas", 0.0), 1),
         "xla": round(medians.get("xla", 0.0), 1),
         **secondaries,

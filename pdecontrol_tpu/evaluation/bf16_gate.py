@@ -1,8 +1,8 @@
-"""Attractor-statistics fidelity gate for the bf16 fast solver mode.
+"""Attractor-statistics fidelity gate for the bf16-limb fast solver modes.
 
-The ``pallas_packed`` solver's ``bf16_3x`` precision (3-pass bfloat16-limb
-matmuls) is ~1.7x faster than the fp32 HIGHEST kernel but carries ~1.5e-3
-relative error per control period.  On a chaotic attractor trajectories
+The ``pallas_packed`` solver's bfloat16-limb precisions trade matmul passes
+for speed (``bf16`` 1 pass < ``bf16_3x`` 3 < ``bf16_4x`` 4 < ``highest`` 6)
+and carry growing per-period error.  On a chaotic attractor trajectories
 decorrelate no matter the precision, so the meaningful fidelity statement is
 STATISTICAL: long-run attractor statistics must match full-precision ones.
 This gate runs both solvers through the product env API
@@ -13,11 +13,13 @@ discarded transient) on a ``--batch``-wide ensemble and compares
 - mean dissipation terms ``<u_x^2>``, ``<u_xx^2>`` (the reward's fields)
 - the energy spectrum    ``<|rfft(u)|^2>`` over resolved wavenumbers
 
-between bf16_3x and fp32.  Exit status 0 = within tolerances; the verdict
-JSON goes to stdout and (with ``--output``) to disk.  RESULTS.md cites this
-gate for the bf16_3x product-mode claim; run it on the TPU chip:
+between the candidate precision (``--precision``) and the fp32 XLA solver.
+Exit status 0 = within tolerances; the verdict JSON goes to stdout and
+(with ``--output``) to disk.  RESULTS.md cites this gate for the fast-mode
+product claims; run it on the TPU chip, e.g.:
 
-    python -m pdecontrol_tpu.evaluation.bf16_gate --output results/bf16_fidelity.json
+    python -m pdecontrol_tpu.evaluation.bf16_gate --precision bf16_4x \
+        --output results/bf16_fidelity_4x.json
 
 No reference counterpart (the reference integrates fp64 NumPy only,
 kuramoto.py:83-90); tolerances are set by the KS literature convention that
@@ -94,7 +96,7 @@ def compare(fp32: Dict, bf16: Dict, rtol_means: float, rtol_spec: float) -> Dict
     checks = {}
     for k in ("mean_energy", "mean_ux2", "mean_uxx2"):
         rel = abs(bf16[k] - fp32[k]) / abs(fp32[k])
-        checks[k] = {"fp32": fp32[k], "bf16_3x": bf16[k],
+        checks[k] = {"fp32": fp32[k], "fast": bf16[k],
                      "rel_err": rel, "tol": rtol_means,
                      "ok": bool(rel <= rtol_means)}
     s32, s16 = fp32["spectrum"], bf16["spectrum"]
@@ -113,7 +115,7 @@ def compare(fp32: Dict, bf16: Dict, rtol_means: float, rtol_spec: float) -> Dict
 
 def run_gate(batch: int = 512, transient: int = 100, periods: int = 400,
              rtol_means: float = 0.02, rtol_spec: float = 0.10,
-             seed: int = 0) -> Dict:
+             seed: int = 0, precision: str = "bf16_4x") -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -122,19 +124,19 @@ def run_gate(batch: int = 512, transient: int = 100, periods: int = 400,
     key = jax.random.PRNGKey(seed)
     envs = {
         "fp32": KuramotoSivashinsky.create(dtype=jnp.float32, solver="xla"),
-        "bf16_3x": KuramotoSivashinsky.create(
+        "fast": KuramotoSivashinsky.create(
             dtype=jnp.float32, solver="pallas_packed",
-            pallas_precision="bf16_3x",
+            pallas_precision=precision,
         ),
     }
     stats = {
         name: rollout_stats(env, key, batch, transient, periods)
         for name, env in envs.items()
     }
-    verdict = compare(stats["fp32"], stats["bf16_3x"], rtol_means, rtol_spec)
+    verdict = compare(stats["fp32"], stats["fast"], rtol_means, rtol_spec)
     verdict["config"] = {
         "batch": batch, "transient_periods": transient, "periods": periods,
-        "total_agent_steps": batch * periods,
+        "total_agent_steps": batch * periods, "precision": precision,
     }
     return verdict
 
@@ -147,11 +149,14 @@ def main(argv=None):
     p.add_argument("--rtol_means", type=float, default=0.02)
     p.add_argument("--rtol_spec", type=float, default=0.10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", type=str, default="bf16_4x",
+                   choices=("bf16", "bf16_3x", "bf16_4x"))
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args(argv)
 
     verdict = run_gate(args.batch, args.transient, args.periods,
-                       args.rtol_means, args.rtol_spec, args.seed)
+                       args.rtol_means, args.rtol_spec, args.seed,
+                       args.precision)
     blob = json.dumps(verdict, indent=2)
     print(blob)
     if args.output:

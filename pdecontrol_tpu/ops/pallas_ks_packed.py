@@ -18,7 +18,22 @@ Matmul precision is selectable:
   * ``"highest"`` — 6-pass float32 (bit-comparable to the XLA path),
   * ``"bf16_3x"`` — manual 3-pass bfloat16 splitting (x = hi + lo;
     x@W ~= hi@W_hi + hi@W_lo + lo@W_hi), ~2^-18 relative per product,
+  * ``"bf16_4x"`` — adds the lo@W_lo term (fp32-grade for this stencil),
   * ``"bf16"``    — single pass (fastest, for statistics-only workloads).
+
+Operator layout under limb precision — measured pitfall: the bf16 modes
+must NOT use the pre-summed linear operator ``-(c_xx + c_xxxx)``.  Its
+4th-derivative coefficients (O(1e2-1e3)) dominate the 2nd-derivative ones
+(O(1e1)), so the summed matrix's two-limb bf16 representation carries a
+systematic ~1e-4 relative perturbation of the *anti-diffusion* (u_xx)
+operator — an effective-viscosity shift that drains the chaotic attractor
+(measured: -1.7e-5 mean signed energy error per RK4 sub-step; -2%% mean
+energy, -5%% <u_x^2> over 400 periods — caught by
+``evaluation/bf16_gate.py``).  The bf16 modes therefore use a separate
+block layout ``[2N, 4N]`` (``-c_xx`` | ``-c_xxxx``) summed post-dot in
+float32, which restores unbiased statistics (+2.4e-6 per sub-step, gate
+PASS) at ~4/3 the linear-matmul FLOPs; ``highest`` keeps the fused
+``[2N, 2N]`` operator (f32 carries both scales fine).
 """
 
 from __future__ import annotations
@@ -60,6 +75,23 @@ def packed_matrices(ops: KSOperators) -> Tuple[np.ndarray, np.ndarray]:
     w_up[:n, 2 * n : 3 * n] = up[:, n:]  # bwd, even row
     w_up[n:, 3 * n :] = up[:, n:]  # bwd, odd row
     return w_lin, w_up
+
+
+def packed_linear_separate(ops: KSOperators) -> np.ndarray:
+    """``[2N, 4N]`` separate-block linear operator for the bf16-limb modes:
+    cols ``[0, 2N)`` give packed ``-u_xx``, cols ``[2N, 4N)`` packed
+    ``-u_xxxx``; the kernel sums the halves post-dot in float32.  Keeping
+    the two derivative scales in separate bf16-rounded blocks avoids the
+    systematic effective-viscosity bias of the pre-summed operator (see
+    module docstring)."""
+    n = ops.n
+    cen = np.asarray(ops.central, np.float64)
+    w = np.zeros((2 * n, 4 * n), np.float32)
+    w[:n, :n] = -cen[:, :n]  # -c_xx, even row
+    w[n:, n : 2 * n] = -cen[:, :n]  # -c_xx, odd row
+    w[:n, 2 * n : 3 * n] = -cen[:, n:]  # -c_xxxx, even row
+    w[n:, 3 * n :] = -cen[:, n:]  # -c_xxxx, odd row
+    return w
 
 
 def packed_uxx_matrix(ops: KSOperators) -> np.ndarray:
@@ -128,6 +160,8 @@ def _kernel(u_ref, phi_ref, wl_ref, wu_ref, wl_lo_ref, wu_lo_ref, wxx_ref,
 
     def rhs(x):
         lin = dot(x, wl, wl_lo)
+        if lin.shape[-1] == 4 * n:  # separate-block layout (bf16 modes)
+            lin = lin[:, : 2 * n] + lin[:, 2 * n :]
         s = x * x
         y = dot(s, wu, wu_lo)
         ux = jnp.where(x < 0, y[:, : 2 * n], y[:, 2 * n :])
@@ -221,6 +255,10 @@ def ks_control_period_packed(
     if b % 2:
         raise ValueError("batch must be even for lane packing")
     wl, wu = packed_matrices(ops)
+    if precision != "highest":
+        # bf16-limb modes need the derivative scales in separate bf16
+        # blocks (see module docstring: pre-summing biases the attractor).
+        wl = packed_linear_separate(ops)
     wl = jnp.asarray(wl)
     wu = jnp.asarray(wu)
     wxx = jnp.asarray(packed_uxx_matrix(ops))

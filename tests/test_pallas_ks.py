@@ -83,6 +83,105 @@ def test_packed_kernel_matches_xla():
     np.testing.assert_allclose(r_pack, np.asarray(r_ref), rtol=2e-5, atol=2e-6)
 
 
+def test_separate_linear_layout_sums_to_presummed():
+    """The bf16-mode [2N, 4N] separate-block linear operator is exactly the
+    pre-summed [2N, 2N] operator once its halves are added (same float64
+    source coefficients, so agreement is float32 round-off)."""
+    from pdecontrol_tpu.ops import pallas_ks_packed as P
+
+    ops = KSOperators.create(64, 22.0, dtype=jnp.float32)
+    wl_sum, _ = P.packed_matrices(ops)
+    wl_sep = P.packed_linear_separate(ops)
+    n2 = wl_sum.shape[0]
+    np.testing.assert_allclose(wl_sep[:, :n2] + wl_sep[:, n2:], wl_sum,
+                               rtol=0, atol=1e-4 * np.abs(wl_sum).max())
+
+
+def test_limb_dot_presummed_linear_bias_regression():
+    """Regression for the bf16-limb attractor drain (round 3): under the
+    kernel's 3-pass limb arithmetic the PRE-SUMMED linear operator
+    ``-(c_xx + c_xxxx)`` carries a systematic signed error aligned with the
+    state (an effective-viscosity shift, measured on TPU as -1.7e-5 energy
+    per RK4 sub-step, -2%% mean attractor energy over 400 periods), because
+    the O(1e2-1e3) fourth-derivative coefficients bury the O(1e1)
+    second-derivative ones in bf16 rounding.  The separate-block layout
+    (``packed_linear_separate``) keeps the scales in separately-rounded
+    blocks and is unbiased.  This pins the signed projection
+    ``<u * (limb_dot(u, W) - u @ W)>`` — the energy-drift bias — for both
+    layouts with the kernel's exact limb scheme emulated on CPU."""
+    from pdecontrol_tpu.ops import pallas_ks_packed as P
+
+    ops = KSOperators.create(64, 22.0, dtype=jnp.float32)
+    n = 64
+    wl_sum, _ = P.packed_matrices(ops)
+    wl_sep = P.packed_linear_separate(ops)
+
+    def limb3(x, w):
+        # The kernel's bf16_3x dot: every MXU operand is bf16-rounded
+        # (the f32 ``w`` pass truncates to bf16 in hardware), products
+        # accumulate in f32 (pallas_ks_packed._make_dot).
+        x = jnp.asarray(x, jnp.float32)
+        w = jnp.asarray(w, jnp.float32)
+        w_lo = w - w.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        wh = w.astype(jnp.bfloat16).astype(jnp.float32)
+        wlo = w_lo.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi @ wh + hi @ wlo + lo @ wh
+
+    # Smooth random fields (attractor states are smooth; roughness hides
+    # the bias under stencil-scale noise).
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (256, 2 * n), jnp.float32)
+
+    def smooth(v):
+        f = np.fft.rfft(np.asarray(v, np.float64), axis=-1)
+        f[:, 12:] = 0
+        return jnp.asarray(np.fft.irfft(f, axis=-1), jnp.float32)
+
+    xs = jnp.concatenate([smooth(x[:, :n]), smooth(x[:, n:])], -1) * 1.5
+
+    exact = jnp.asarray(
+        np.asarray(xs, np.float64) @ np.asarray(wl_sum, np.float64)
+    ).astype(jnp.float32)
+    y_sum = limb3(xs, wl_sum)
+    y_sep4 = limb3(xs, wl_sep)
+    y_sep = y_sep4[:, : 2 * n] + y_sep4[:, 2 * n :]
+
+    bias_sum = float(jnp.mean((y_sum - exact) * xs))
+    bias_sep = float(jnp.mean((y_sep - exact) * xs))
+    # Measured at this seed: presummed -4.7e-3, separate +2.3e-4.
+    assert abs(bias_sum) > 2e-3, bias_sum
+    assert abs(bias_sep) < 5e-4, bias_sep
+    assert abs(bias_sum) > 5 * abs(bias_sep), (bias_sum, bias_sep)
+
+
+def test_packed_wrapper_selects_separate_layout_for_limb_modes():
+    """ks_control_period_packed must hand bf16-limb modes the separate-block
+    [2N, 4N] linear operator and keep the fused [2N, 2N] one for HIGHEST
+    (see module docstring) — pinned by intercepting the jitted call."""
+    from pdecontrol_tpu.ops import pallas_ks_packed as P
+
+    ops = KSOperators.create(64, 22.0, dtype=jnp.float32)
+    u = jnp.zeros((4, 64), jnp.float32)
+    phi = jnp.zeros((4, 64), jnp.float32)
+    seen = {}
+
+    def fake_call(u2, phi2, wl, *rest):
+        seen["wl_shape"] = tuple(wl.shape)
+        return u2, jnp.zeros((u2.shape[0], 2), jnp.float32)
+
+    orig = P._call
+    P._call = fake_call
+    try:
+        P.ks_control_period_packed(ops, u, phi, 1e-3, 2, precision="bf16_3x")
+        assert seen["wl_shape"] == (128, 256)
+        P.ks_control_period_packed(ops, u, phi, 1e-3, 2, precision="highest")
+        assert seen["wl_shape"] == (128, 128)
+    finally:
+        P._call = orig
+
+
 def test_packed_precision_limbs_consistent():
     """bf16 limb splitting is exact: hi + lo == x in float32, and
     W_hi + W_lo reconstructs W."""
