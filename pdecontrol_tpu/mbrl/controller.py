@@ -604,40 +604,56 @@ class PDEModelBasedController:
             pass
 
     # -------------------------------------------------------- world rollouts
-    def _world_fn(self, horizon: int):
-        if horizon in self._world_jit:
-            return self._world_jit[horizon]
+    def _world_fn(self, horizon: int, rounds: int):
+        """One jitted program for the WHOLE imagine phase: an outer
+        ``lax.scan`` over the ``rounds`` batches of imagined rollouts, each
+        an inner horizon-scan.  A host loop over rounds costs one remote
+        dispatch per round (they are carry-dependent through the world
+        replay, so they serialise); at ~100-rollout batches the per-round
+        device work is small enough that dispatch latency dominated the
+        phase (58% of steady-state iteration time before fusing)."""
+        if (horizon, rounds) in self._world_jit:
+            return self._world_jit[(horizon, rounds)]
         sac, world = self.sac, self.world
 
         @jax.jit
         def run(key, ens, sac_state, replay, world_replay, tr):
-            kreset, kloop = jax.random.split(key)
-            wstate = self._constrain_world_state(
-                world.reset(kreset, ens, replay, tr)
-            )
-
-            def body(carry, _):
-                wstate, world_replay, key = carry
-                key, ka, ks = jax.random.split(key, 3)
-                prev_obs = wstate.obs
-                prev_t = wstate.timesteps
-                agent_obs = tr.world_to_agent_obs(prev_obs)
-                action = sac.select_action(sac_state, agent_obs, ka)
-                wstate, (obs, reward, term, trunc, final_obs) = world.step(
-                    ks, wstate, ens, action, tr, jnp.asarray(horizon), replay
+            def one_round(world_replay, kround):
+                kreset, kloop = jax.random.split(kround)
+                wstate = self._constrain_world_state(
+                    world.reset(kreset, ens, replay, tr)
                 )
-                world_replay = R.write_step(
-                    world_replay, prev_obs, action, reward, term, trunc,
-                    final_obs, (prev_t + 1).astype(jnp.int32),
+
+                def body(carry, _):
+                    wstate, world_replay, key = carry
+                    key, ka, ks = jax.random.split(key, 3)
+                    prev_obs = wstate.obs
+                    prev_t = wstate.timesteps
+                    agent_obs = tr.world_to_agent_obs(prev_obs)
+                    action = sac.select_action(sac_state, agent_obs, ka)
+                    wstate, (obs, reward, term, trunc, final_obs) = world.step(
+                        ks, wstate, ens, action, tr, jnp.asarray(horizon),
+                        replay
+                    )
+                    world_replay = R.write_step(
+                        world_replay, prev_obs, action, reward, term, trunc,
+                        final_obs, (prev_t + 1).astype(jnp.int32),
+                    )
+                    return (wstate, world_replay, key), reward
+
+                (wstate, world_replay, _), rewards = jax.lax.scan(
+                    body, (wstate, world_replay, kloop), None, length=horizon
                 )
-                return (wstate, world_replay, key), reward
+                return world_replay, rewards
 
-            (wstate, world_replay, _), rewards = jax.lax.scan(
-                body, (wstate, world_replay, kloop), None, length=horizon
+            world_replay, rewards = jax.lax.scan(
+                one_round, world_replay, jax.random.split(key, rounds)
             )
-            return world_replay, rewards
+            # [rounds, horizon, B] -> [rounds * horizon, B], the concat
+            # order of the former per-round host loop.
+            return world_replay, rewards.reshape((-1,) + rewards.shape[2:])
 
-        self._world_jit[horizon] = run
+        self._world_jit[(horizon, rounds)] = run
         return run
 
     def imagine(self, horizon: int) -> Array:
@@ -645,16 +661,13 @@ class PDEModelBasedController:
             math.ceil(self.num_world_rollouts / self.config.model_rollouts_batch_size),
             1,
         )
-        run = self._world_fn(horizon)
-        rewards = []
-        for _ in range(rounds):
-            self.key, k = jax.random.split(self.key)
-            self.world_replay, rew = run(
-                k, self.ensemble, self.sac_state, self.replay,
-                self.world_replay, self.tr,
-            )
-            rewards.append(rew)
-        return jnp.concatenate(rewards)
+        run = self._world_fn(horizon, rounds)
+        self.key, k = jax.random.split(self.key)
+        self.world_replay, rewards = run(
+            k, self.ensemble, self.sac_state, self.replay,
+            self.world_replay, self.tr,
+        )
+        return rewards
 
     # --------------------------------------------------------- policy update
     def _policy_fn(self, n_updates: int):
