@@ -23,7 +23,7 @@ from __future__ import annotations
 import contextlib
 import math
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,17 @@ STATUS_HEADERS = [
     "world_buffer_samples", "train_loss", "val_loss", "sac_qf_loss",
     "sac_policy_loss",
 ]
+
+# Per-iteration log scalars, packed into ONE device buffer so logging costs
+# a single transport round trip (order matches _pack_scalars call sites).
+LOG_SCALARS = ("world_buffer_samples", "collect_reward_mean",
+               "imagined_reward_mean", "sac_qf_loss", "sac_policy_loss",
+               "total_steps")
+
+
+def _pack_scalars(xs):
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return jnp.stack([jnp.asarray(x).astype(dt) for x in xs])
 
 
 class PDEModelBasedController:
@@ -242,6 +253,8 @@ class PDEModelBasedController:
         self._policy_jit = {}
         self._eval_jit = None
         self._sur_eval_jit = {}
+        self._log_pack_jit = None
+        self._fused_jit = {}
         self._train_vis_jit = {}
         self._start_time = time.time()
         self.throughput = profiling.Throughput()
@@ -409,18 +422,23 @@ class PDEModelBasedController:
             (env_state, tr, replay, key), rewards = jax.lax.scan(
                 body, (env_state, tr, replay, key), None, length=nsteps
             )
-            return env_state, tr, replay, rewards
+            # The per-iteration log mean is computed in-program: an eager
+            # jnp.mean at logging time is a full dispatch round trip over
+            # the (possibly remote) device transport — measured at ~50 ms
+            # per op through the axon tunnel, it dominated iteration time.
+            return env_state, tr, replay, rewards, jnp.mean(rewards)
 
         self._collect_jit[key_] = run
         return run
 
-    def collect(self, nsteps: int, random: bool = False) -> Array:
+    def collect(self, nsteps: int, random: bool = False) -> Tuple[Array, Array]:
+        """Returns (per-step rewards [nsteps, B], on-device scalar mean)."""
         self.key, k = jax.random.split(self.key)
         run = self._collect_fn(nsteps, random)
-        self.env_state, self.tr, self.replay, rewards = run(
+        self.env_state, self.tr, self.replay, rewards, rmean = run(
             self.env_state, self.tr, self.sac_state, self.replay, self.pool, k
         )
-        return rewards
+        return rewards, rmean
 
     # ------------------------------------------------------ surrogate train
     def update_delta_transform(self) -> None:
@@ -650,24 +668,27 @@ class PDEModelBasedController:
                 one_round, world_replay, jax.random.split(key, rounds)
             )
             # [rounds, horizon, B] -> [rounds * horizon, B], the concat
-            # order of the former per-round host loop.
-            return world_replay, rewards.reshape((-1,) + rewards.shape[2:])
+            # order of the former per-round host loop.  The log mean is
+            # computed in-program (see _collect_fn).
+            rewards = rewards.reshape((-1,) + rewards.shape[2:])
+            return world_replay, rewards, jnp.mean(rewards)
 
         self._world_jit[(horizon, rounds)] = run
         return run
 
-    def imagine(self, horizon: int) -> Array:
+    def imagine(self, horizon: int) -> Tuple[Array, Array]:
+        """Returns (imagined rewards [rounds*horizon, B], scalar mean)."""
         rounds = max(
             math.ceil(self.num_world_rollouts / self.config.model_rollouts_batch_size),
             1,
         )
         run = self._world_fn(horizon, rounds)
         self.key, k = jax.random.split(self.key)
-        self.world_replay, rewards = run(
+        self.world_replay, rewards, rmean = run(
             k, self.ensemble, self.sac_state, self.replay,
             self.world_replay, self.tr,
         )
-        return rewards
+        return rewards, rmean
 
     # --------------------------------------------------------- policy update
     def _policy_fn(self, n_updates: int):
@@ -723,6 +744,45 @@ class PDEModelBasedController:
         )
         self.num_pol_updates += n
         return metrics
+
+    # ------------------------------------------------------ fused iteration
+    def _fused_iteration_fn(self, nsteps: int, horizon: int, rounds: int,
+                            n_updates: int):
+        """ONE jitted program for a whole non-retrain MBPO iteration:
+        collect -> imagined rollouts -> chained SAC updates, plus the packed
+        per-iteration log scalars.  Each separate dispatch-after-a-sync pays
+        a full transport round trip (~25 ms through the axon tunnel, 60% of
+        steady-state iteration time before fusing); the phase programs are
+        pure, so composing them inside one jit is semantics-preserving, and
+        the RNG keys are split host-side exactly as the unfused path splits
+        them (identical results — tested in
+        tests/test_mbrl_smoke.py::test_fused_iteration_matches_unfused)."""
+        key_ = (nsteps, horizon, rounds, n_updates)
+        if key_ in self._fused_jit:
+            return self._fused_jit[key_]
+        collect = self._collect_fn(nsteps, random=False)
+        world = self._world_fn(horizon, rounds)
+        policy = self._policy_fn(n_updates)
+
+        @jax.jit
+        def run(env_state, tr, sac_state, replay, world_replay, ens, pool,
+                kc, kw, kp):
+            env_state, tr, replay, _, c_mean = collect(
+                env_state, tr, sac_state, replay, pool, kc
+            )
+            world_replay, _, i_mean = world(
+                kw, ens, sac_state, replay, world_replay, tr
+            )
+            sac_state, metrics = policy(sac_state, replay, world_replay, tr, kp)
+            packed = _pack_scalars((
+                world_replay.ntimesteps, c_mean, i_mean,
+                metrics["qf_loss"], metrics["policy_loss"],
+                replay.total_steps,
+            ))
+            return env_state, tr, replay, world_replay, sac_state, packed
+
+        self._fused_jit[key_] = run
+        return run
 
     # ------------------------------------------------------------ evaluation
     def evaluate_policy(self) -> Dict[str, float]:
@@ -1010,31 +1070,80 @@ class PDEModelBasedController:
         # before the clock stops, so the numbers are honest device time,
         # not dispatch time).  Phases are data-dependent so the added
         # barriers cost only next-dispatch pipelining.
-        t = time.perf_counter()
-        rewards = self.collect(cfg.rollout_length, random=False)
-        jax.block_until_ready(rewards)
-        t_collect, t = time.perf_counter() - t, time.perf_counter()
-
-        t_surrogate = 0.0
-        if self.iteration % self.sur_train_freq == 0:
-            self.update_delta_transform()
-            logs = self.update_surrogates()
-            self.logger.log(
-                {"num_ensemble_updates": self.num_ensemble_updates, **logs},
-                commit=False,
-            )
-            t_surrogate, t = time.perf_counter() - t, time.perf_counter()
-
+        retrain = self.iteration % self.sur_train_freq == 0
         horizon = int(self.schedule(iteration=self.iteration))
-        imag_rewards = self.imagine(horizon)
-        jax.block_until_ready(imag_rewards)
-        t_imagine, t = time.perf_counter() - t, time.perf_counter()
+        n_updates = self.num_pol_updates_per_iteration
+        rounds = max(
+            math.ceil(self.num_world_rollouts
+                      / cfg.model_rollouts_batch_size),
+            1,
+        )
+        timings: Dict[str, float] = {}
+        t = time.perf_counter()
 
-        pol_metrics = self.update_policy()
-        jax.block_until_ready(pol_metrics["qf_loss"])
-        t_policy, t = time.perf_counter() - t, time.perf_counter()
+        if cfg.fuse_iteration and not retrain:
+            # Fast path: the whole iteration is ONE program (see
+            # _fused_iteration_fn).  Keys are split exactly as the unfused
+            # path's collect()/imagine()/update_policy() split them.
+            run = self._fused_iteration_fn(
+                cfg.rollout_length, horizon, rounds, n_updates
+            )
+            self.key, kc = jax.random.split(self.key)
+            self.key, kw = jax.random.split(self.key)
+            self.key, kp = jax.random.split(self.key)
+            (self.env_state, self.tr, self.replay, self.world_replay,
+             self.sac_state, packed) = run(
+                self.env_state, self.tr, self.sac_state, self.replay,
+                self.world_replay, self.ensemble, self.pool, kc, kw, kp,
+            )
+            self.num_pol_updates += n_updates
+            pulled = dict(zip(LOG_SCALARS, np.asarray(jax.device_get(packed))))
+            timings["t_fused"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
+        else:
+            _, collect_rmean = self.collect(cfg.rollout_length, random=False)
+            jax.block_until_ready(collect_rmean)
+            timings["t_collect"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
 
-        t_eval = 0.0
+            if retrain:
+                self.update_delta_transform()
+                logs = self.update_surrogates()
+                self.logger.log(
+                    {"num_ensemble_updates": self.num_ensemble_updates,
+                     **logs},
+                    commit=False,
+                )
+                timings["t_surrogate"], t = (
+                    round(time.perf_counter() - t, 4), time.perf_counter()
+                )
+
+            _, imag_rmean = self.imagine(horizon)
+            jax.block_until_ready(imag_rmean)
+            timings["t_imagine"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
+
+            pol_metrics = self.update_policy()
+            jax.block_until_ready(pol_metrics["qf_loss"])
+            timings["t_policy"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
+
+            if self._log_pack_jit is None:
+                self._log_pack_jit = jax.jit(_pack_scalars)
+            packed = jax.device_get(self._log_pack_jit((
+                self.world_replay.ntimesteps, collect_rmean, imag_rmean,
+                pol_metrics["qf_loss"], pol_metrics["policy_loss"],
+                self.replay.total_steps,
+            )))
+            pulled = dict(zip(LOG_SCALARS, np.asarray(packed)))
+            timings["t_pull"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
+
         if self.iteration % cfg.agent_eval_freq == 0:
             self.logger.log(self.evaluate_policy(), commit=False)
             self.logger.log(self.evaluate_surrogate(), commit=False)
@@ -1044,7 +1153,9 @@ class PDEModelBasedController:
                  "world_return_std": float(wstd)},
                 commit=False,
             )
-            t_eval = time.perf_counter() - t
+            timings["t_eval"], t = (
+                round(time.perf_counter() - t, 4), time.perf_counter()
+            )
 
         self.logger.log(
             {
@@ -1052,22 +1163,16 @@ class PDEModelBasedController:
                 "num_steps_sampled": self.num_steps_sampled
                 + cfg.learning_starts,
                 "horizon": horizon,
-                "world_buffer_samples": int(
-                    jax.device_get(self.world_replay.ntimesteps)
-                ),
-                "collect_reward_mean": float(jnp.mean(rewards)),
-                "imagined_reward_mean": float(jnp.mean(imag_rewards)),
+                "world_buffer_samples": int(pulled["world_buffer_samples"]),
+                "collect_reward_mean": float(pulled["collect_reward_mean"]),
+                "imagined_reward_mean": float(pulled["imagined_reward_mean"]),
                 "num_pol_updates": self.num_pol_updates,
-                "sac_qf_loss": float(pol_metrics["qf_loss"]),
-                "sac_policy_loss": float(pol_metrics["policy_loss"]),
+                "sac_qf_loss": float(pulled["sac_qf_loss"]),
+                "sac_policy_loss": float(pulled["sac_policy_loss"]),
                 "env_steps_per_sec": self.throughput.update(
-                    int(jax.device_get(self.replay.total_steps))
+                    int(pulled["total_steps"])
                 ),
-                "t_collect": round(t_collect, 4),
-                "t_surrogate": round(t_surrogate, 4),
-                "t_imagine": round(t_imagine, 4),
-                "t_policy": round(t_policy, 4),
-                "t_eval": round(t_eval, 4),
+                **timings,
                 "time": time.time() - self._start_time,
             },
             commit=True,

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of iteration 1 here")
+    p.add_argument("--no_fuse_iteration", action="store_true",
+                   help="dispatch collect/imagine/SAC as separate programs "
+                        "(per-phase t_* timings; slower per iteration)")
     # General
     p.add_argument("--total_timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -143,6 +146,7 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         checkpoint_freq=args.checkpoint_freq,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        fuse_iteration=not args.no_fuse_iteration,
         total_timesteps=args.total_timesteps,
         seed=args.seed,
         data_parallel=args.data_parallel,

@@ -107,6 +107,57 @@ def test_mbrl_learn_smoke(tmp_path):
     assert float(jax.device_get(ctl.tr.undscaling.var).squeeze()) > 0
 
 
+def test_fused_iteration_matches_unfused(tmp_path):
+    """The fused whole-iteration program (collect -> imagine -> SAC in ONE
+    jit, config.fuse_iteration) must reproduce the unfused per-phase
+    dispatch path exactly: the RNG keys are split identically and the
+    phase programs are pure, so any divergence is a fusion bug."""
+    import jax.numpy as jnp
+
+    def run(fuse, d):
+        cfg = _tiny_config(tmp_path / d, fuse_iteration=fuse)
+        ctl = PDEModelBasedController(cfg)
+        ctl.learn()
+        return ctl
+
+    a = run(True, "fused")
+    b = run(False, "unfused")
+
+    assert a.iteration == b.iteration > 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(a.replay.obs_seq)),
+        np.asarray(jax.device_get(b.replay.obs_seq)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(a.world_replay.obs_seq)),
+        np.asarray(jax.device_get(b.world_replay.obs_seq)),
+    )
+    for pa, pb in zip(
+        jax.tree.leaves((a.sac_state.policy_params, a.sac_state.critic_params)),
+        jax.tree.leaves((b.sac_state.policy_params, b.sac_state.critic_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(pa)), np.asarray(jax.device_get(pb)),
+            rtol=1e-12, atol=1e-12,
+        )
+
+    def stream(ctl):
+        path = os.path.join(ctl.config.run_dir, "metrics.jsonl")
+        return [json.loads(l) for l in open(path)]
+
+    keys = ["collect_reward_mean", "imagined_reward_mean", "sac_qf_loss",
+            "sac_policy_loss", "eval_return_mean", "val_loss",
+            "world_buffer_samples", "num_pol_updates"]
+    for rec_a, rec_b in zip(stream(a), stream(b)):
+        for k in keys:
+            assert (k in rec_a) == (k in rec_b), k
+            if k in rec_a:
+                np.testing.assert_allclose(
+                    rec_a[k], rec_b[k], rtol=1e-12, atol=1e-12,
+                    err_msg=f"metric {k} diverged fused vs unfused",
+                )
+
+
 def test_mbrl_burgers_smoke(tmp_path):
     cfg = _tiny_config(
         tmp_path,

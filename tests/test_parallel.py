@@ -174,8 +174,8 @@ def test_controller_mesh_collect_matches_single_device(tmp_path):
 
     a = build(1, 1, "single")
     b = build(4, 2, "mesh")
-    ra = a.collect(6, random=True)
-    rb = b.collect(6, random=True)
+    ra, _ = a.collect(6, random=True)
+    rb, _ = b.collect(6, random=True)
     np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(
