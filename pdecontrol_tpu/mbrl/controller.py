@@ -255,6 +255,10 @@ class PDEModelBasedController:
         self._sur_eval_jit = {}
         self._log_pack_jit = None
         self._fused_jit = {}
+        # Pipelined metrics flush: on back-to-back fused iterations the
+        # packed log scalars of iteration i-1 are pulled while iteration
+        # i executes, hiding the fetch round trip behind device work.
+        self._pending_log = None
         self._train_vis_jit = {}
         self._start_time = time.time()
         self.throughput = profiling.Throughput()
@@ -1061,8 +1065,39 @@ class PDEModelBasedController:
             ):
                 self.save_checkpoint()
 
+        self._flush_pending_log()
         if self.ckpt is not None and cfg.checkpoint_freq:
             self.save_checkpoint()
+
+    def _commit_record(self, rec: Dict, pulled: Dict) -> None:
+        rec = dict(rec)
+        rec.update({
+            "world_buffer_samples": int(pulled["world_buffer_samples"]),
+            "collect_reward_mean": float(pulled["collect_reward_mean"]),
+            "imagined_reward_mean": float(pulled["imagined_reward_mean"]),
+            "sac_qf_loss": float(pulled["sac_qf_loss"]),
+            "sac_policy_loss": float(pulled["sac_policy_loss"]),
+            "env_steps_per_sec": self.throughput.update(
+                int(pulled["total_steps"])
+            ),
+        })
+        self.logger.log(rec, commit=True)
+
+    def _flush_pending_log(self) -> None:
+        """Pull + commit the previous fused iteration's deferred metrics
+        record.  Called one iteration behind (the fetch overlaps the next
+        program's execution), and synchronously before anything that must
+        observe an ordered, complete metrics stream (eval/retrain
+        iterations, checkpoints, end of learn())."""
+        if self._pending_log is None:
+            return
+        rec, packed, t0 = self._pending_log
+        self._pending_log = None
+        pulled = dict(zip(LOG_SCALARS, np.asarray(jax.device_get(packed))))
+        # dispatch -> results drained; includes the deliberate one-iteration
+        # overlap, so it upper-bounds (not measures) the device time.
+        rec["t_ready"] = round(time.perf_counter() - t0, 4)
+        self._commit_record(rec, pulled)
 
     def _run_iteration(self) -> None:
         cfg = self.config
@@ -1071,6 +1106,7 @@ class PDEModelBasedController:
         # not dispatch time).  Phases are data-dependent so the added
         # barriers cost only next-dispatch pipelining.
         retrain = self.iteration % self.sur_train_freq == 0
+        eval_iter = self.iteration % cfg.agent_eval_freq == 0
         horizon = int(self.schedule(iteration=self.iteration))
         n_updates = self.num_pol_updates_per_iteration
         rounds = max(
@@ -1097,11 +1133,33 @@ class PDEModelBasedController:
                 self.world_replay, self.ensemble, self.pool, kc, kw, kp,
             )
             self.num_pol_updates += n_updates
+            timings["t_dispatch"] = round(time.perf_counter() - t, 4)
+
+            if not eval_iter:
+                # Pipelined: defer this iteration's pull, flush the
+                # previous one (its program has finished; the fetch
+                # overlaps this iteration's device execution).
+                rec = {
+                    "iteration": self.iteration,
+                    "num_steps_sampled": self.num_steps_sampled
+                    + cfg.learning_starts,
+                    "horizon": horizon,
+                    "num_pol_updates": self.num_pol_updates,
+                    **timings,
+                    "time": time.time() - self._start_time,
+                }
+                self._flush_pending_log()
+                self._pending_log = (rec, packed, time.perf_counter())
+                self.iteration += 1
+                return
+
+            self._flush_pending_log()
             pulled = dict(zip(LOG_SCALARS, np.asarray(jax.device_get(packed))))
             timings["t_fused"], t = (
                 round(time.perf_counter() - t, 4), time.perf_counter()
             )
         else:
+            self._flush_pending_log()
             _, collect_rmean = self.collect(cfg.rollout_length, random=False)
             jax.block_until_ready(collect_rmean)
             timings["t_collect"], t = (
@@ -1182,4 +1240,5 @@ class PDEModelBasedController:
     def save_checkpoint(self) -> None:
         from pdecontrol_tpu.utils import checkpoint as C
 
+        self._flush_pending_log()
         self.ckpt.save(self.iteration, C.controller_state(self))
