@@ -46,6 +46,7 @@ from pdecontrol_tpu.train.losses import make_loss
 from pdecontrol_tpu.train.schedulers import Scheduler
 from pdecontrol_tpu.train.trainer import SurrogateTrainer, TrainConfig, TrainerState
 from pdecontrol_tpu.utils import profiling
+from pdecontrol_tpu.utils.asyncviz import BackgroundRenderer
 from pdecontrol_tpu.utils.logging import MetricsLogger
 
 Array = jax.Array
@@ -259,6 +260,11 @@ class PDEModelBasedController:
         # packed log scalars of iteration i-1 are pulled while iteration
         # i executes, hiding the fetch round trip behind device work.
         self._pending_log = None
+        # Plot renders / npz writes / wandb uploads run on one background
+        # thread (drained at the end of learn()) so the eval block's
+        # ~2 s of host-side work overlaps the next iterations' device
+        # execution instead of stalling the loop.
+        self.viz = BackgroundRenderer()
         self._train_vis_jit = {}
         self._start_time = time.time()
         self.throughput = profiling.Throughput()
@@ -593,35 +599,42 @@ class PDEModelBasedController:
         try:
             import os
 
-            from pdecontrol_tpu.viz import plots
-
             d = os.path.join(cfg.run_dir, "plots")
-            os.makedirs(d, exist_ok=True)
             params0 = jax.tree.map(lambda x: x[0], self.ensemble.params)
             run = self._train_vis_fn(length)
+            iteration = self.iteration
             for stage, mask in (("train", train_mask), ("val", val_mask)):
                 self.key, k = jax.random.split(self.key)
-                obs, opred, acts = jax.device_get(run(
+                # Dispatch on the main thread; the worker pulls + renders.
+                handles = run(
                     k, params0, self.replay, mask,
                     self.tr.undscaling, self.tr.replay_to_world,
-                ))
-                obs, opred, acts = (np.asarray(obs), np.asarray(opred),
-                                    np.asarray(acts))
-                img = plots.pdeplot(obs, opred, acts)
-                img.save(os.path.join(
-                    d, f"{stage}_vis_iter{self.iteration}.png"))
-                heat = plots.spatial({
-                    "deltas": np.diff(obs, axis=0),
-                    "outdeltas": np.diff(opred, axis=0),
-                })
-                heat.save(os.path.join(
-                    d, f"{stage}_spatial_iter{self.iteration}.png"))
-                if self.logger.wandb is not None:
-                    self.logger.wandb.log(
-                        {f"{stage}_vis": self.logger.wandb.Image(img),
-                         f"{stage}_spatial": self.logger.wandb.Image(heat)},
-                        commit=False,
+                )
+
+                def job(stage=stage, handles=handles):
+                    from pdecontrol_tpu.viz import plots
+
+                    os.makedirs(d, exist_ok=True)
+                    obs, opred, acts = (
+                        np.asarray(x) for x in jax.device_get(handles)
                     )
+                    img = plots.pdeplot(obs, opred, acts)
+                    img.save(os.path.join(
+                        d, f"{stage}_vis_iter{iteration}.png"))
+                    heat = plots.spatial({
+                        "deltas": np.diff(obs, axis=0),
+                        "outdeltas": np.diff(opred, axis=0),
+                    })
+                    heat.save(os.path.join(
+                        d, f"{stage}_spatial_iter{iteration}.png"))
+                    if self.logger.wandb is not None:
+                        self.logger.wandb.log(
+                            {f"{stage}_vis": self.logger.wandb.Image(img),
+                             f"{stage}_spatial": self.logger.wandb.Image(heat)},
+                            commit=False,
+                        )
+
+                self.viz.submit(job)
         except Exception:  # plotting must never kill training
             pass
 
@@ -944,25 +957,27 @@ class PDEModelBasedController:
         analogue, mbrl/callbacks.py:72-106)."""
         if self.config.logging_freq <= 0:
             return
-        try:
-            import os
+        import os
 
+        d = os.path.join(self.config.run_dir, "plots")
+        iteration = self.iteration
+
+        def job():
             from pdecontrol_tpu.viz import plots
 
-            d = os.path.join(self.config.run_dir, "plots")
             os.makedirs(d, exist_ok=True)
             img = plots.pdeplot(truth, pred, acts, rewards=rtrue, rpred=rpred)
-            img.save(os.path.join(d, f"surrogate_iter{self.iteration}.png"))
+            img.save(os.path.join(d, f"surrogate_iter{iteration}.png"))
             plots.hstepplot(hstep).save(
-                os.path.join(d, f"hstep_iter{self.iteration}.png")
+                os.path.join(d, f"hstep_iter{iteration}.png")
             )
             if self.logger.wandb is not None:
                 self.logger.wandb.log(
                     {"surrogate_open_loop": self.logger.wandb.Image(img)},
                     commit=False,
                 )
-        except Exception:  # plotting must never kill training
-            pass
+
+        self.viz.submit(job)
 
     def _save_surrogate_artifact(self, out: Dict) -> None:
         """Per-eval h-step battery artifact (reference EvalLogCallback,
@@ -973,22 +988,24 @@ class PDEModelBasedController:
         import os
 
         d = os.path.join(self.config.run_dir, "evaluation")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"surrogate_eval_{self.iteration}.npz")
-        np.savez_compressed(
-            path,
-            states=np.asarray(out["truth"]),
-            outputs=np.asarray(out["preds"]),
-            actions=np.asarray(out["actions"]),
-            rewards=np.asarray(out["rtrue"]),
-            rpred=np.asarray(out["rpred"]),
-            hstep_mse=np.asarray(out["hstep"]),
-        )
-        self._upload_artifact(path, "surrogate-eval")
-        # wandb Table of the h-step battery (EvalLogCallback,
-        # callbacks.py:118-134).
-        if self.logger.wandb is not None:
-            try:
+        iteration = self.iteration
+
+        def job():
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"surrogate_eval_{iteration}.npz")
+            np.savez_compressed(
+                path,
+                states=np.asarray(out["truth"]),
+                outputs=np.asarray(out["preds"]),
+                actions=np.asarray(out["actions"]),
+                rewards=np.asarray(out["rtrue"]),
+                rpred=np.asarray(out["rpred"]),
+                hstep_mse=np.asarray(out["hstep"]),
+            )
+            self._upload_artifact(path, "surrogate-eval", iteration)
+            # wandb Table of the h-step battery (EvalLogCallback,
+            # callbacks.py:118-134).
+            if self.logger.wandb is not None:
                 wb = self.logger.wandb
                 table = wb.Table(
                     columns=["h", "open_loop_mse"],
@@ -996,8 +1013,8 @@ class PDEModelBasedController:
                           for h, v in enumerate(np.asarray(out["hstep"]))],
                 )
                 wb.log({"surrogate_hstep_battery": table}, commit=False)
-            except Exception:  # artifact logging must never kill training
-                pass
+
+        self.viz.submit(job)
 
     def _save_eval_artifact(self, obs, actions, rewards) -> None:
         """Eval-episode trajectories as an npz artifact (mbrl.py:467-472)."""
@@ -1006,26 +1023,35 @@ class PDEModelBasedController:
         import os
 
         d = os.path.join(self.config.run_dir, "evaluation")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"eval_{self.iteration}.npz")
-        # [T, B, ...] -> [B, T, ...] episode-major like the reference dataset.
-        np.savez_compressed(
-            path,
-            obs=np.swapaxes(np.asarray(jax.device_get(obs)), 0, 1),
-            actions=np.swapaxes(np.asarray(jax.device_get(actions)), 0, 1),
-            rewards=np.swapaxes(np.asarray(jax.device_get(rewards)), 0, 1),
-        )
-        self._upload_artifact(path, "eval-episodes")
+        iteration = self.iteration
 
-    def _upload_artifact(self, path: str, kind: str) -> None:
+        def job():
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"eval_{iteration}.npz")
+            # [T, B, ...] -> [B, T, ...] episode-major like the reference
+            # dataset; the device_get happens on the worker thread too.
+            np.savez_compressed(
+                path,
+                obs=np.swapaxes(np.asarray(jax.device_get(obs)), 0, 1),
+                actions=np.swapaxes(np.asarray(jax.device_get(actions)), 0, 1),
+                rewards=np.swapaxes(np.asarray(jax.device_get(rewards)), 0, 1),
+            )
+            self._upload_artifact(path, "eval-episodes", iteration)
+
+        self.viz.submit(job)
+
+    def _upload_artifact(self, path: str, kind: str,
+                         iteration: Optional[int] = None) -> None:
         """wandb Artifact upload of an eval npz (reference EvalLogCallback,
         callbacks.py:112-117 and mbrl.py:467-472); no-op without wandb."""
         if self.logger.wandb is None:
             return
+        if iteration is None:
+            iteration = self.iteration
         try:
             wb = self.logger.wandb
             art = wb.Artifact(
-                name=f"{wb.run.id}-{kind}-{self.iteration}", type="dataset"
+                name=f"{wb.run.id}-{kind}-{iteration}", type="dataset"
             )
             art.add_file(path)
             wb.run.log_artifact(art)
@@ -1068,6 +1094,9 @@ class PDEModelBasedController:
         self._flush_pending_log()
         if self.ckpt is not None and cfg.checkpoint_freq:
             self.save_checkpoint()
+        if self.ckpt is not None:
+            self.ckpt.wait()  # async writes must be durable before exit
+        self.viz.drain()  # plot/artifact files must exist before exit
 
     def _commit_record(self, rec: Dict, pulled: Dict) -> None:
         rec = dict(rec)

@@ -22,17 +22,32 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self.manager = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                # Serialization + disk write happen on a background thread;
+                # save() returns once the device arrays are snapshotted to
+                # host.  Measured on the 50k MBRL run the synchronous write
+                # was 29% of total wall time (16-54 s every 200 iterations).
+                # Writes are finalized atomically, so a crash mid-write
+                # cannot leave a checkpoint that restore() would accept.
+                enable_async_checkpointing=True,
+            ),
         )
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable on disk."""
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        self.manager.wait_until_finished()  # in-process save may be in flight
         if step is None:
             step = self.latest_step()
         if step is None:
