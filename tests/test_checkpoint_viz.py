@@ -99,3 +99,23 @@ def test_viz_smoke():
     assert plots.epplot(obs, actions[:, 0], rewards).size[0] > 100
     assert plots.hstepplot(np.abs(rng.normal(size=10))).size[0] > 100
     assert plots.trisurf(obs, dt=0.25, length=22.0).size[0] > 100
+
+
+def test_checkpoint_failure_is_not_silent(tmp_path):
+    """Background checkpoint saves must re-raise at the next save()/wait()
+    instead of silently dropping the snapshot (checkpoint.py contract)."""
+    import pytest
+
+    from pdecontrol_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    # A lambda is not serializable by orbax StandardSave -> the worker job
+    # fails; wait() must surface it.
+    ckpt.save(0, {"bad": lambda: None})
+    with pytest.raises(Exception):
+        ckpt.wait()
+    # The manager stays usable afterwards: a good save round-trips.
+    ckpt.save(1, {"x": np.arange(4)}, wait=True)
+    assert ckpt.latest_step() == 1
+    out = ckpt.restore({"x": np.zeros(4, dtype=np.int64)})
+    np.testing.assert_array_equal(out["x"], np.arange(4))
