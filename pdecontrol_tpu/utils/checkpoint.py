@@ -1,10 +1,31 @@
-"""Checkpoint / resume subsystem (orbax).
+"""Checkpoint / resume subsystem.
 
 The reference can only persist an offline surrogate state_dict
 (``evaluate.py:210-214``); its MBRL loop cannot resume (SURVEY §5).  Here the
 *entire* training state — ensemble params + optimizer states, SAC state,
 running transforms, replay buffers, env/world state, RNG key and host
 counters — is one pytree snapshot, so a 50k-step run survives preemption.
+
+Design (measured on the 50k MBRL run, one v5e chip + 1-CPU host):
+
+* Synchronous saves cost 16-54 s every 200 iterations (29% of wall time).
+  ``save()`` therefore only captures *references* to the (immutable) jax
+  arrays and returns; ONE worker thread performs the batched device->host
+  pull and the write.  The snapshot is consistent because the controller
+  rebinds new arrays instead of mutating old ones.
+* The serializer is a flat **uncompressed npz** written to a temp file and
+  atomically renamed: the 371 MB / 844-leaf state serializes in ~0.5 s of
+  host CPU, where orbax ``StandardSave`` burned 9.2 s of the single CPU in
+  per-leaf tensorstore machinery — background "async" saves were still
+  starving the training loop's dispatch thread (retrain spikes 3.8 -> 18 s
+  around every save).
+* Restore requires a ``target`` pytree (the freshly constructed controller
+  state) — leaves are matched positionally by flatten order, with a
+  leaf-count guard.  Checkpoints written by the earlier orbax-based
+  manager are still restorable (read-only fallback).
+* Failed background saves re-raise at the next ``save()`` / ``wait()`` —
+  checkpoint loss must never be silent.  A crash mid-write leaves only a
+  ``.tmp`` file, never a step that ``restore()`` would accept.
 """
 
 from __future__ import annotations
@@ -15,35 +36,32 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
-import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Fully-backgrounded saves.
-
-    A synchronous save cost 14-54 s on the 50k MBRL run (29% of wall
-    time) and profiling showed the device->host snapshot round trips —
-    not disk volume (36-50 MB) — dominate.  ``save()`` therefore only
-    captures *references* to the (immutable) jax arrays and returns;
-    ONE worker thread performs the batched ``device_get`` and the orbax
-    write while the training loop keeps dispatching.  The snapshot is
-    consistent because the controller rebinds new arrays instead of
-    mutating old ones.  Failures are re-raised at the next ``save()`` /
-    ``wait()`` — checkpoint loss must not be silent.  Orbax finalizes
-    directories atomically, so a crash mid-write can never leave a
-    checkpoint that ``restore()`` would accept.
-    """
-
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self.manager = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
-        )
+        self.max_to_keep = max_to_keep
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="ckpt")
         self._pending: List = []
+
+    # ----------------------------------------------------------- internals
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"{step}.npz")
+
+    def _steps(self) -> List[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            if name.endswith(".npz") and not name.endswith(".tmp"):
+                try:
+                    steps.append(int(name[:-4]))
+                except ValueError:
+                    pass
+            elif name.isdigit():  # legacy orbax step directory
+                steps.append(int(name))
+        return sorted(set(steps))
 
     def _raise_pending(self, wait: bool) -> None:
         done, live = [], []
@@ -53,24 +71,34 @@ class CheckpointManager:
         for f in done:
             f.result()  # re-raises a failed save
 
-    def save(self, step: int, state: Any, wait: bool = False) -> None:
-        def job() -> None:
-            host_state = jax.device_get(state)
-            self.manager.save(step, args=ocp.args.StandardSave(host_state))
-            self.manager.wait_until_finished()
+    def _write(self, step: int, state: Any) -> None:
+        flat, _ = jax.tree.flatten(state)
+        flat = [np.asarray(x) for x in jax.device_get(flat)]
+        # Hidden tmp name ends in .npz (np.savez keeps it verbatim) and is
+        # invisible to _steps(), so a crash mid-write never surfaces as a
+        # restorable step; os.replace makes publication atomic.
+        tmp = os.path.join(self.directory, f".tmp-{step}.npz")
+        np.savez(tmp, *flat)
+        os.replace(tmp, self._path(step))
+        for old in self._steps()[: -self.max_to_keep]:
+            p = self._path(old)
+            if os.path.exists(p):
+                os.remove(p)
 
+    # ----------------------------------------------------------------- api
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
         self._raise_pending(wait=False)
-        self._pending.append(self._pool.submit(job))
+        self._pending.append(self._pool.submit(self._write, step, state))
         if wait:
             self.wait()
 
     def wait(self) -> None:
         """Block until all in-flight saves are durable on disk."""
         self._raise_pending(wait=True)
-        self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self.manager.latest_step()
+        steps = self._steps()
+        return steps[-1] if steps else None
 
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
         self.wait()  # an in-process save may be in flight
@@ -78,7 +106,25 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self.manager.restore(step, args=ocp.args.StandardRestore(target))
+        if not os.path.exists(self._path(step)):
+            return self._restore_orbax(target, step)
+        flat_t, treedef = jax.tree.flatten(target)
+        with np.load(self._path(step)) as z:
+            if len(z.files) != len(flat_t):
+                raise ValueError(
+                    f"checkpoint step {step} holds {len(z.files)} leaves, "
+                    f"target expects {len(flat_t)} — incompatible snapshot"
+                )
+            flat = [z[f"arr_{i}"] for i in range(len(flat_t))]
+        return jax.tree.unflatten(treedef, flat)
+
+    def _restore_orbax(self, target: Any, step: int) -> Any:
+        """Read-only fallback for checkpoints written by the orbax-based
+        manager of earlier revisions (legacy step directories)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(self.directory) as mgr:
+            return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
 def controller_state(ctl) -> Dict[str, Any]:
