@@ -31,11 +31,34 @@ Design (measured on the 50k MBRL run, one v5e chip + 1-CPU host):
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
+
+# Device->host pulls larger than this are sliced into row chunks with a
+# pause between them: the full 371 MB snapshot is a ~15 s monolithic
+# transfer through the (thin) axon tunnel that starves the training
+# loop's own dispatch/result traffic — measured as retrain time inflating
+# 3.8 -> 16-21 s across the 2-3 retrains each save overlapped.  Chunking
+# + yielding lets the two traffic streams interleave.
+_CHUNK_BYTES = 16 << 20
+_CHUNK_PAUSE_S = 0.05
+
+
+def _pull_throttled(x: Any) -> np.ndarray:
+    nbytes = getattr(x, "nbytes", 0)
+    shape = getattr(x, "shape", ())
+    if nbytes <= _CHUNK_BYTES or not shape or shape[0] < 2:
+        return np.asarray(jax.device_get(x))
+    rows = max(int(shape[0] * _CHUNK_BYTES / nbytes), 1)
+    parts = []
+    for i in range(0, shape[0], rows):
+        parts.append(np.asarray(jax.device_get(x[i : i + rows])))
+        time.sleep(_CHUNK_PAUSE_S)
+    return np.concatenate(parts, axis=0)
 
 
 class CheckpointManager:
@@ -73,7 +96,7 @@ class CheckpointManager:
 
     def _write(self, step: int, state: Any) -> None:
         flat, _ = jax.tree.flatten(state)
-        flat = [np.asarray(x) for x in jax.device_get(flat)]
+        flat = [_pull_throttled(x) for x in flat]
         # Hidden tmp name ends in .npz (np.savez keeps it verbatim) and is
         # invisible to _steps(), so a crash mid-write never surfaces as a
         # restorable step; os.replace makes publication atomic.
