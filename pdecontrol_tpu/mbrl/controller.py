@@ -268,6 +268,7 @@ class PDEModelBasedController:
         self._train_vis_jit = {}
         self._start_time = time.time()
         self.throughput = profiling.Throughput()
+        self.gc_monitor = profiling.GCMonitor()
 
         # Checkpoint / resume (a subsystem the reference lacks; SURVEY §5).
         self.ckpt = None
@@ -468,6 +469,7 @@ class PDEModelBasedController:
         phase = "initial" if self.iteration <= 0 else "iterations"
         tc = self.train_cfgs[phase]
         self.trainer.config = self.train_cfgs[phase]
+        t_split0 = time.perf_counter()
 
         # Train/val split over episodes with any data (mbrl.py:570-573).
         fill = np.asarray(jax.device_get(self.replay.fill))
@@ -505,8 +507,21 @@ class PDEModelBasedController:
             n_val = min(n_val, len(ok) - 1)
             val_rows = ok[:n_val]
             train_rows = np.concatenate([ok[n_val:], short])
-        train_mask = jnp.zeros((self.replay.num_rows,), bool).at[train_rows].set(True)
-        val_mask = jnp.zeros((self.replay.num_rows,), bool).at[val_rows].set(True)
+        # Build the masks host-side and ship one fixed-shape bool vector.
+        # An eager ``jnp.zeros(...).at[rows].set(True)`` scatter compiles a
+        # fresh executable for every new index-array LENGTH — and the row
+        # count changes exactly when freshly completed episodes enter the
+        # replay (every episode boundary), so each boundary's first retrain
+        # paid a remote-tunnel compile (~15 s measured; the deterministic
+        # period-400 retrain spikes in every 50k run).  NumPy writes make
+        # the transfer shape-stable and compile-free.
+        train_np_mask = np.zeros((self.replay.num_rows,), bool)
+        train_np_mask[train_rows] = True
+        val_np_mask = np.zeros((self.replay.num_rows,), bool)
+        val_np_mask[val_rows] = True
+        train_mask = jnp.asarray(train_np_mask)
+        val_mask = jnp.asarray(val_np_mask)
+        t_split = time.perf_counter() - t_split0
 
         scores, logs = [], {}
         if cfg.vmap_ensemble_training:
@@ -544,6 +559,7 @@ class PDEModelBasedController:
                 logs = mlogs
         # Write member params back into the stacked ensemble + elites
         # (replicated: rollout-path convs must not be member-sharded).
+        t_post0 = time.perf_counter()
         stacked = jax.tree.map(
             lambda *leaves: jnp.stack(leaves),
             *[st.params for st in self.member_states],
@@ -553,7 +569,9 @@ class PDEModelBasedController:
         self.num_ensemble_updates += 1
         self._train_vis(train_mask, val_mask, length0)
         return {"val_loss": float(np.mean(scores)), **logs,
-                "elite_scores": scores}
+                "elite_scores": scores,
+                "t_split": round(t_split, 4),
+                "t_post": round(time.perf_counter() - t_post0, 4)}
 
     def _train_vis_fn(self, length: int):
         """Jitted window-draw + free-run reconstruction for the train-time
@@ -1196,11 +1214,19 @@ class PDEModelBasedController:
             )
 
             if retrain:
+                self.gc_monitor.drain()  # reset the window to this retrain
+                t_delta0 = time.perf_counter()
                 self.update_delta_transform()
+                t_delta = time.perf_counter() - t_delta0
                 logs = self.update_surrogates()
+                gc_pause, gc_max, gc_counts = self.gc_monitor.drain()
                 self.logger.log(
                     {"num_ensemble_updates": self.num_ensemble_updates,
-                     **logs},
+                     **logs,
+                     "t_delta": round(t_delta, 4),
+                     "t_gc": round(gc_pause, 4),
+                     "gc_max_pause": round(gc_max, 4),
+                     "n_gc2": gc_counts[2]},
                     commit=False,
                 )
                 timings["t_surrogate"], t = (

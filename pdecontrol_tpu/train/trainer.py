@@ -27,6 +27,7 @@ Reference mapping:
 from __future__ import annotations
 
 import math
+import time
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -417,6 +418,7 @@ class SurrogateTrainer:
         patience = cfg.patience if patience is None else patience
         max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
 
+        t_prep0 = time.perf_counter()
         if isinstance(states, list):
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         else:
@@ -437,6 +439,13 @@ class SurrogateTrainer:
         steps_taken = np.zeros(m, int)
         epoch = 0
         logs: Dict[str, float] = {}
+        # Wall-time breakdown of the retrain (logged per retrain row):
+        # prep = host pulls of fill/masks/step, dispatch = the async train
+        # step dispatch loop, val = per-epoch validation incl. its blocking
+        # device_get (where device compute time surfaces on the host clock).
+        t_prep = time.perf_counter() - t_prep0
+        t_dispatch_acc = 0.0
+        t_val_acc = 0.0
 
         while not stopped.all() and epoch < max_epochs:
             k = int(curriculum(iteration=iteration, epoch=epoch,
@@ -449,6 +458,7 @@ class SurrogateTrainer:
 
             train, val = self._ensemble_batch_fns(length)
             active = jnp.asarray(~stopped)
+            t0 = time.perf_counter()
             for b in range(nb):
                 if max_steps and steps_taken.max() >= max_steps:
                     stopped[:] = True
@@ -458,11 +468,14 @@ class SurrogateTrainer:
                 stacked, tm = train(stacked, replay, train_mask, und, stransf,
                                     jnp.asarray(lr), member_keys, active)
                 steps_taken[~stopped] += 1
+            t_dispatch_acc += time.perf_counter() - t0
 
+            t0 = time.perf_counter()
             key, kv = jax.random.split(key)
             vm = val(stacked.params, replay, val_mask, und, stransf,
                      self._member_keys(kv, m))
             vl = np.asarray(jax.device_get(vm["val_loss"]))
+            t_val_acc += time.perf_counter() - t0
             val_losses = np.where(stopped, val_losses, vl)
 
             improved = vl < best
@@ -483,4 +496,7 @@ class SurrogateTrainer:
             }
 
         logs["steps"] = int(steps_taken.max())
+        logs["t_fit_prep"] = round(t_prep, 4)
+        logs["t_fit_dispatch"] = round(t_dispatch_acc, 4)
+        logs["t_fit_val"] = round(t_val_acc, 4)
         return stacked, val_losses, logs

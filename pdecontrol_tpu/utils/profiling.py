@@ -8,8 +8,9 @@ framework's north-star metrics.
 from __future__ import annotations
 
 import contextlib
+import gc
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 
@@ -47,3 +48,50 @@ class Throughput:
 
     def metrics(self, prefix: str = "") -> Dict[str, float]:
         return {f"{prefix}steps_per_sec": self.rate}
+
+
+class GCMonitor:
+    """Accumulates CPython cyclic-GC pause time between ``drain()`` calls.
+
+    Host-side stalls in a jit-dispatch loop have few possible sources;
+    cyclic GC is the one that is allocation-count-triggered (hence
+    deterministic in iteration number) and invisible to phase timers, so
+    the retrain window reports its pause total/max and per-generation
+    counts alongside the ``t_*`` fields.  (In the 50k KS runs this
+    instrumentation *exonerated* GC: the period-400 retrain spikes showed
+    zero gen-2 collections and were eager-scatter recompiles instead.)
+    The callback costs ~1 µs per collection — negligible against the
+    gen-0 cadence — so the monitor is always on.
+    """
+
+    def __init__(self) -> None:
+        self._t0: Optional[float] = None
+        self.pause = 0.0
+        self.counts = [0, 0, 0]
+        self.max_pause = 0.0
+        gc.callbacks.append(self._cb)
+
+    def _cb(self, phase: str, info: Dict) -> None:
+        if phase == "start":
+            self._t0 = time.perf_counter()
+        elif self._t0 is not None:
+            dt = time.perf_counter() - self._t0
+            self.pause += dt
+            self.max_pause = max(self.max_pause, dt)
+            self.counts[info["generation"]] += 1
+            self._t0 = None
+
+    def drain(self) -> Tuple[float, float, Tuple[int, int, int]]:
+        """(total pause s, max single pause s, per-generation counts)
+        since the previous drain."""
+        out = (self.pause, self.max_pause, tuple(self.counts))
+        self.pause = 0.0
+        self.max_pause = 0.0
+        self.counts = [0, 0, 0]
+        return out
+
+    def close(self) -> None:
+        try:
+            gc.callbacks.remove(self._cb)
+        except ValueError:
+            pass
