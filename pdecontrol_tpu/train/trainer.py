@@ -103,6 +103,12 @@ class SurrogateTrainer:
         self.mode = "delta" if module.mode == AUTOREG else "decoded"
         self.mesh = None  # optional Mesh: fit_ensemble shards the member
         # axis (stacked params + per-member PRNG keys) over ``model``
+        # Fuse each fit_ensemble epoch (all train batches + the val step)
+        # into ONE jitted program (lax.fori_loop with a *dynamic* trip count,
+        # so the growing per-epoch batch count never recompiles).  Same PRNG
+        # split sequence as the per-batch dispatch loop -> bit-identical
+        # training; equivalence-tested in tests/test_trainer.py.
+        self.fuse_epoch = True
         self._train_jit = {}
         self._val_jit = {}
 
@@ -236,6 +242,44 @@ class SurrogateTrainer:
             self._val_jit[key_] = run
         return self._val_jit[key_]
 
+    def _epoch_fn(self, length: int):
+        """Single-member analogue of ``_ensemble_epoch_fn``: one jitted
+        program per epoch (``nb`` train batches via a dynamic-trip-count
+        fori_loop + the val batch), bit-identical to the dispatch loop."""
+        cfg = self.config
+        key_ = ("epoch", length, cfg.tau, cfg.tbtt, cfg.batch_size)
+        if key_ not in self._train_jit:
+
+            @jax.jit
+            def epoch(state, replay, train_mask, val_mask, und, stransf, lr,
+                      key, nb):
+                def body(_, carry):
+                    state, key, _ = carry
+                    key, kb = jax.random.split(key)
+                    batch = R.sample_windows(
+                        replay, kb, cfg.batch_size, length, train_mask
+                    )
+                    batch = stransf(batch)
+                    state, tm = self.train_step(
+                        state, batch.obs, batch.actions, und, lr
+                    )
+                    return state, key, tm["train_loss"]
+
+                init = (state, key, jnp.full((), jnp.nan, jnp.float32))
+                state, key, train_loss = jax.lax.fori_loop(0, nb, body, init)
+                key, kv = jax.random.split(key)
+                batch = R.sample_windows(
+                    replay, kv, cfg.batch_size, length, val_mask
+                )
+                batch = stransf(batch)
+                vm = self.val_step(
+                    state.params, batch.obs, batch.actions, und, stransf
+                )
+                return state, key, train_loss, vm
+
+            self._train_jit[key_] = epoch
+        return self._train_jit[key_]
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -287,23 +331,37 @@ class SurrogateTrainer:
             nwin = int(np.sum(np.maximum((fill[train_np] - length) // length + 1, 0)))
             nb = max(nwin // cfg.batch_size, 1)
 
-            run = self._train_batch_fn(length)
-            for b in range(nb):
-                if max_steps and steps_taken >= max_steps:
+            if self.fuse_epoch:
+                nb_eff = nb
+                if max_steps:
+                    nb_eff = max(0, min(nb, max_steps - steps_taken))
+                state, key, tl, vm = self._epoch_fn(length)(
+                    state, replay, train_mask, val_mask, und, stransf,
+                    jnp.asarray(lr), key, jnp.asarray(nb_eff),
+                )
+                steps_taken += nb_eff
+                if max_steps and nb_eff < nb:
                     stop = True
-                    break
-                key, kb = jax.random.split(key)
-                state, tm = run(state, replay, train_mask, und, stransf,
-                                jnp.asarray(lr), kb)
-                steps_taken += 1
+                train_loss = float(jax.device_get(tl))
+            else:
+                run = self._train_batch_fn(length)
+                for b in range(nb):
+                    if max_steps and steps_taken >= max_steps:
+                        stop = True
+                        break
+                    key, kb = jax.random.split(key)
+                    state, tm = run(state, replay, train_mask, und, stransf,
+                                    jnp.asarray(lr), kb)
+                    steps_taken += 1
+                train_loss = float(jax.device_get(tm["train_loss"]))
 
-            key, kv = jax.random.split(key)
-            vm = self._val_batch_fn(length)(
-                state.params, replay, val_mask, und, stransf, kv
-            )
+                key, kv = jax.random.split(key)
+                vm = self._val_batch_fn(length)(
+                    state.params, replay, val_mask, und, stransf, kv
+                )
             val_loss = float(jax.device_get(vm["val_loss"]))
             logs = {
-                "train_loss": float(jax.device_get(tm["train_loss"])),
+                "train_loss": train_loss,
                 "val_loss": val_loss,
                 "val_delta_loss": float(jax.device_get(vm["val_delta_loss"])),
                 "epochs": epoch + 1,
@@ -327,8 +385,10 @@ class SurrogateTrainer:
         return state, val_loss, logs
 
     # ------------------------------------------------- vmapped ensemble fit
-    def _ensemble_batch_fns(self, length: int):
-        key_ = ("ens", length, self.config.tau, self.config.tbtt,
+    def _member_fns(self, length: int):
+        """Unjitted vmapped (train, val) member functions for one window
+        length (shard_map-wrapped over ``model`` when a mesh is set)."""
+        key_ = ("memfns", length, self.config.tau, self.config.tbtt,
                 self.config.batch_size, self.mesh is not None)
         if key_ not in self._train_jit:
             cfg = self.config
@@ -382,9 +442,50 @@ class SurrogateTrainer:
                     in_specs=(m, r, r, r, r, m),
                     out_specs=m, check_vma=False,
                 )
-            train = jax.jit(vtrain)
-            val = jax.jit(vval)
-            self._train_jit[key_] = (train, val)
+            self._train_jit[key_] = (vtrain, vval)
+        return self._train_jit[key_]
+
+    def _ensemble_batch_fns(self, length: int):
+        key_ = ("ens", length, self.config.tau, self.config.tbtt,
+                self.config.batch_size, self.mesh is not None)
+        if key_ not in self._train_jit:
+            vtrain, vval = self._member_fns(length)
+            self._train_jit[key_] = (jax.jit(vtrain), jax.jit(vval))
+        return self._train_jit[key_]
+
+    def _ensemble_epoch_fn(self, length: int, m: int):
+        """One fused fit_ensemble epoch: ``nb`` train batches (dynamic trip
+        count — no recompile as the replay grows) followed by the epoch's
+        validation batch, all in a single jitted program.  Replays the exact
+        PRNG split sequence of the per-batch dispatch loop, so the result is
+        bit-identical to ``fuse_epoch=False``; the fusion removes the
+        per-batch host dispatch gaps that dominated retrain wall time."""
+        key_ = ("ens_epoch", length, m, self.config.tau, self.config.tbtt,
+                self.config.batch_size, self.mesh is not None)
+        if key_ not in self._train_jit:
+            vtrain, vval = self._member_fns(length)
+
+            @jax.jit
+            def epoch(stacked, replay, train_mask, val_mask, und, stransf,
+                      lr, key, active, nb):
+                def body(_, carry):
+                    stacked, key, _ = carry
+                    key, kb = jax.random.split(key)
+                    member_keys = jax.random.split(kb, m)
+                    stacked, tm = vtrain(stacked, replay, train_mask, und,
+                                         stransf, lr, member_keys, active)
+                    return stacked, key, jnp.mean(tm["train_loss"])
+
+                init = (stacked, key, jnp.full((), jnp.nan, jnp.float32))
+                stacked, key, train_loss = jax.lax.fori_loop(
+                    0, nb, body, init
+                )
+                key, kv = jax.random.split(key)
+                vm = vval(stacked.params, replay, val_mask, und, stransf,
+                          jax.random.split(kv, m))
+                return stacked, key, train_loss, vm
+
+            self._train_jit[key_] = epoch
         return self._train_jit[key_]
 
     def fit_ensemble(
@@ -438,6 +539,7 @@ class SurrogateTrainer:
         val_losses = np.full(m, np.nan)
         steps_taken = np.zeros(m, int)
         epoch = 0
+        last_tl: Optional[float] = float("nan")
         logs: Dict[str, float] = {}
         # Wall-time breakdown of the retrain (logged per retrain row):
         # prep = host pulls of fill/masks/step, dispatch = the async train
@@ -456,26 +558,54 @@ class SurrogateTrainer:
             nwin = int(np.sum(np.maximum((fill[train_np] - length) // length + 1, 0)))
             nb = max(nwin // cfg.batch_size, 1)
 
-            train, val = self._ensemble_batch_fns(length)
-            active = jnp.asarray(~stopped)
-            t0 = time.perf_counter()
-            for b in range(nb):
-                if max_steps and steps_taken.max() >= max_steps:
+            if self.fuse_epoch:
+                # Whole epoch (nb train batches + val) in one jitted program;
+                # the trip count is a traced scalar so replay growth between
+                # retrains never recompiles.
+                epoch_fn = self._ensemble_epoch_fn(length, m)
+                nb_eff = nb
+                if max_steps:
+                    nb_eff = max(0, min(nb, max_steps - int(steps_taken.max())))
+                t0 = time.perf_counter()
+                stacked, key, tl, vm = epoch_fn(
+                    stacked, replay, train_mask, val_mask, und, stransf,
+                    jnp.asarray(lr), key, jnp.asarray(~stopped),
+                    jnp.asarray(nb_eff),
+                )
+                steps_taken[~stopped] += nb_eff
+                if max_steps and nb_eff < nb:
                     stopped[:] = True
-                    break
-                key, kb = jax.random.split(key)
-                member_keys = self._member_keys(kb, m)
-                stacked, tm = train(stacked, replay, train_mask, und, stransf,
-                                    jnp.asarray(lr), member_keys, active)
-                steps_taken[~stopped] += 1
-            t_dispatch_acc += time.perf_counter() - t0
+                t_dispatch_acc += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                vl = np.asarray(jax.device_get(vm["val_loss"]))
+                if nb_eff > 0:
+                    last_tl = float(jax.device_get(tl))
+                t_val_acc += time.perf_counter() - t0
+            else:
+                train, val = self._ensemble_batch_fns(length)
+                active = jnp.asarray(~stopped)
+                t0 = time.perf_counter()
+                for b in range(nb):
+                    if max_steps and steps_taken.max() >= max_steps:
+                        stopped[:] = True
+                        break
+                    key, kb = jax.random.split(key)
+                    member_keys = self._member_keys(kb, m)
+                    stacked, tm = train(stacked, replay, train_mask, und,
+                                        stransf, jnp.asarray(lr), member_keys,
+                                        active)
+                    steps_taken[~stopped] += 1
+                    last_tl = None  # pulled lazily at logs time below
+                t_dispatch_acc += time.perf_counter() - t0
 
-            t0 = time.perf_counter()
-            key, kv = jax.random.split(key)
-            vm = val(stacked.params, replay, val_mask, und, stransf,
-                     self._member_keys(kv, m))
-            vl = np.asarray(jax.device_get(vm["val_loss"]))
-            t_val_acc += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                key, kv = jax.random.split(key)
+                vm = val(stacked.params, replay, val_mask, und, stransf,
+                         self._member_keys(kv, m))
+                vl = np.asarray(jax.device_get(vm["val_loss"]))
+                t_val_acc += time.perf_counter() - t0
+                if last_tl is None:
+                    last_tl = float(jnp.mean(tm["train_loss"]))
             val_losses = np.where(stopped, val_losses, vl)
 
             improved = vl < best
@@ -488,7 +618,7 @@ class SurrogateTrainer:
                 stopped[:] = True
             epoch += 1
             logs = {
-                "train_loss": float(jnp.mean(tm["train_loss"])),
+                "train_loss": last_tl,
                 "val_loss": float(np.mean(val_losses)),
                 "epochs": epoch,
                 "curriculum_K": k,

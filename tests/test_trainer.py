@@ -246,3 +246,55 @@ def test_fit_ensemble_vmapped():
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(p0, p1)
     )
+
+
+def test_fit_ensemble_fused_epoch_matches_dispatch_loop():
+    """The fused-epoch fit (one jitted fori_loop program per epoch) replays
+    the per-batch dispatch loop's exact PRNG split sequence, so params, val
+    losses, and early-stopping trajectories must be bit-identical."""
+    import jax
+
+    key = jax.random.PRNGKey(11)
+    env, rep = _ks_replay(key, episodes=4, ep_len=16)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta, N=32)
+    cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, batch_size=8, patience=2,
+                      max_epochs=8, max_steps=21)
+    states = [
+        SurrogateTrainer(model, mse_loss, cfg).init(
+            jax.random.PRNGKey(i), jnp.zeros((1, 2, 1, 32)),
+            jnp.zeros((1, 5, 1, 4)))
+        for i in range(2)
+    ]
+    mask = rep.fill > 0
+
+    outs = {}
+    for fused in (True, False):
+        trainer = SurrogateTrainer(model, mse_loss, cfg)
+        trainer.fuse_epoch = fused
+        outs[fused] = trainer.fit_ensemble(
+            states, rep, mask, mask, Identity(), SampleTransform(),
+            ConstantLengthScheduler(length=3), iteration=0,
+            key=jax.random.PRNGKey(5),
+        )
+    (st_f, vl_f, logs_f), (st_u, vl_u, logs_u) = outs[True], outs[False]
+    np.testing.assert_array_equal(np.asarray(vl_f), np.asarray(vl_u))
+    assert logs_f["steps"] == logs_u["steps"]
+    assert logs_f["epochs"] == logs_u["epochs"]
+    for a, b in zip(jax.tree.leaves(st_f.params), jax.tree.leaves(st_u.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Single-member fit: same guarantee through the offline-eval path.
+    fouts = {}
+    for fused in (True, False):
+        trainer = SurrogateTrainer(model, mse_loss, cfg)
+        trainer.fuse_epoch = fused
+        fouts[fused] = trainer.fit(
+            states[0], rep, mask, mask, Identity(), SampleTransform(),
+            ConstantLengthScheduler(length=3), iteration=0,
+            key=jax.random.PRNGKey(6),
+        )
+    (fst_f, fvl_f, flogs_f), (fst_u, fvl_u, flogs_u) = fouts[True], fouts[False]
+    assert fvl_f == fvl_u
+    assert flogs_f["steps"] == flogs_u["steps"]
+    for a, b in zip(jax.tree.leaves(fst_f.params), jax.tree.leaves(fst_u.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
