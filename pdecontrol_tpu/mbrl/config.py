@@ -34,6 +34,16 @@ class MBPOConfig:
     # False to get per-phase t_* timings instead of the single t_fused.
     fuse_iteration: bool = True
 
+    # Warm the XLA compilation cache for every (horizon, rounds) program the
+    # rollout-length schedule will visit, on a background thread launched at
+    # the start of learn() — the compiles overlap warmup collection and the
+    # early iterations instead of stalling the first retrain at each new
+    # horizon (measured 10-24 s per horizon on a cold cache through the
+    # remote-compile tunnel).  Requires a persistent compilation cache
+    # (JAX_COMPILATION_CACHE_DIR, exported by the runscripts) to hand the
+    # warmed executables to the training loop's own jit calls.
+    precompile_horizons: bool = True
+
     # ---- general (script.py:27-29)
     total_timesteps: int = 1_000_000
     seed: int = 0

@@ -1077,9 +1077,73 @@ class PDEModelBasedController:
             pass
 
     # ------------------------------------------------------------------ main
+    def _precompile_horizon_ladder(self) -> None:
+        """Warm the persistent compilation cache for every (horizon, rounds)
+        program the rollout-length schedule will visit — the imagine-phase
+        and fused-iteration programs recompile at each new horizon value
+        (measured 10-24 s each through the remote-compile tunnel on a cold
+        cache, concentrated in the first retrains of a fresh run).  A daemon
+        thread AOT-lowers and compiles them from ShapeDtypeStructs (no device
+        buffers touched), overlapping the compiles with warmup collection;
+        the training loop's own jit calls then hit the compilation cache."""
+        cfg = self.config
+        if self.mesh is not None:
+            # Mesh runs carry arg shardings the ShapeDtypeStructs would
+            # drop; the warmed executable would never be looked up.
+            return
+        total_iters = max(
+            int((cfg.total_timesteps - cfg.learning_starts)
+                / max(self.samples_per_iteration, 1)),
+            1,
+        )
+        horizons = sorted({
+            int(self.schedule(iteration=i)) for i in range(total_iters + 1)
+        })
+        rounds = max(
+            math.ceil(self.num_world_rollouts / cfg.model_rollouts_batch_size),
+            1,
+        )
+        n_updates = self.num_pol_updates_per_iteration
+
+        def absify(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") else x,
+                tree,
+            )
+
+        key = absify(self.key)
+        world_args = absify((key, self.ensemble, self.sac_state, self.replay,
+                             self.world_replay, self.tr))
+        fused_args = absify((self.env_state, self.tr, self.sac_state,
+                             self.replay, self.world_replay, self.ensemble,
+                             self.pool)) + (key, key, key)
+
+        def job():
+            for h in horizons:
+                try:
+                    self._world_fn(h, rounds).lower(*world_args).compile()
+                    if cfg.fuse_iteration:
+                        self._fused_iteration_fn(
+                            cfg.rollout_length, h, rounds, n_updates
+                        ).lower(*fused_args).compile()
+                except Exception as e:  # warming must never kill training
+                    print(f"[precompile] horizon {h} skipped: {e!r}",
+                          flush=True)
+                    return
+
+        import threading
+
+        threading.Thread(target=job, name="precompile", daemon=True).start()
+
     def learn(self) -> None:
         cfg = self.config
         self.logger.log({"start": self._start_time}, commit=False)
+        if cfg.precompile_horizons and jax.default_backend() != "cpu":
+            # The ladder hides the TPU remote-compile tunnel's per-horizon
+            # latency; on CPU the compiles are in-process and the thread
+            # only steals cores from the loop it's meant to speed up.
+            self._precompile_horizon_ladder()
 
         # Random warmup (mbrl.py:388-391).
         warmup_steps = max(cfg.learning_starts // cfg.num_envs, 1)

@@ -27,7 +27,7 @@ def test_controller_checkpoint_roundtrip(tmp_path):
                                      "batch_size": 4}},
             trainer={"initial": {"min_steps": 1, "max_steps": 2},
                      "iterations": {"min_steps": 1, "max_steps": 2}},
-            checkpoint_freq=2, resume=resume,
+            checkpoint_freq=2, resume=resume, precompile_horizons=False,
         )
 
     run_dir = tmp_path / "run"

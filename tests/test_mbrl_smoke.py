@@ -41,6 +41,9 @@ def _tiny_config(tmp_path, env_id="KuramotoSivashinskyEnv-v0", **over):
         trainer={"initial": {"min_steps": 2, "max_steps": 6},
                  "iterations": {"min_steps": 1, "max_steps": 3}},
         curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+        # Background cache warming duplicates every compile on CPU; the
+        # dedicated test below exercises it explicitly.
+        precompile_horizons=False,
     )
     base.update(over)
     return MBPOConfig(**base)
@@ -304,3 +307,24 @@ def test_mbrl_all_factories_smoke(tmp_path, factory):
     ol = [r["surrogate_open_loop_mse"] for r in records
           if "surrogate_open_loop_mse" in r]
     assert ol and all(np.isfinite(v) for v in ol)
+
+
+def test_precompile_horizon_ladder(tmp_path, capsys):
+    """The background cache-warming thread AOT-compiles the imagine and
+    fused-iteration programs for every horizon the rollout schedule will
+    visit, from ShapeDtypeStructs that must agree with the real loop's
+    argument structure — a drifted signature would make it compile the
+    wrong program (and print a skip).  Join the thread and assert every
+    horizon compiled clean."""
+    import threading
+
+    cfg = _tiny_config(tmp_path, total_timesteps=16,
+                       precompile_horizons=True)
+    ctl = PDEModelBasedController(cfg)
+    ctl._precompile_horizon_ladder()
+    workers = [t for t in threading.enumerate() if t.name == "precompile"]
+    assert workers, "precompile thread did not start"
+    for t in workers:
+        t.join(timeout=900)
+        assert not t.is_alive(), "precompile thread timed out"
+    assert "[precompile]" not in capsys.readouterr().out

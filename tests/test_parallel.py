@@ -170,6 +170,7 @@ def test_controller_mesh_collect_matches_single_device(tmp_path):
                                      "length": 2},
             training={"tau": 2, "tbtt": 4, "batch_size": 4},
             curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+            precompile_horizons=False,
         ))
 
     a = build(1, 1, "single")
@@ -215,6 +216,7 @@ def test_full_iteration_mesh_equivalence(tmp_path):
             training={"tau": 2, "tbtt": 4, "patience": 1, "batch_size": 4,
                       "min_steps": 1, "max_steps": 3},
             curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+            precompile_horizons=False,
         ))
 
     a = build(1, 1, "single")
