@@ -144,12 +144,30 @@ def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
     return results
 
 
+def _compiled_flops(compiled) -> float:
+    """XLA's model-FLOP estimate for a compiled program (the MFU
+    denominator; jax returns a dict on current versions, a one-element
+    list of dicts on some older ones)."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
 def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 40,
-               repeats: int = 3) -> float:
+               repeats: int = 3, members: int = 1):
     """Secondary: surrogate TBPTT training steps/sec (BASELINE.md 'also
-    tracked') on the flagship conv-LSTM at the reference's tau/tbtt.
-    Median of ``repeats`` — per-step time is ~5 ms, so tunnel dispatch
-    jitter is material; a single run can swing +-20%."""
+    tracked') on the flagship conv-LSTM at the reference's tau/tbtt,
+    plus the XLA-reported FLOPs of the compiled step (MFU audit — VERDICT
+    r3 weak #3: a bare rate cannot distinguish device-bound from
+    efficient).  Median of ``repeats`` — per-step time is ~5 ms, so tunnel
+    dispatch jitter is material; a single run can swing +-20%.
+
+    ``members > 1`` measures the member-FUSED step (jax.vmap over stacked
+    ensemble params — the structure fit_ensemble actually runs with
+    vmap_ensemble_training): the product's batching lever for lifting
+    train-step MFU at fixed optimizer semantics.  Returns
+    (train_steps/s, flops_per_step)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,17 +179,26 @@ def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 40,
     trainer = SurrogateTrainer(model, mse_loss, TrainConfig(tau=5, tbtt=10,
                                                             batch_size=batch))
     key = jax.random.PRNGKey(0)
-    states = jax.random.normal(key, (batch, length, 1, 64), jnp.float32)
-    actions = jax.random.uniform(key, (batch, length, 1, 64),
+    states = jax.random.normal(key, (members, batch, length, 1, 64),
+                               jnp.float32)
+    actions = jax.random.uniform(key, (members, batch, length, 1, 64),
                                  dtype=jnp.float32, minval=-1, maxval=1)
-    tstate = trainer.init(key, states[:, :5], actions)
+    tstate = jax.vmap(
+        lambda k: trainer.init(k, states[0, :, :5], actions[0])
+    )(jax.random.split(key, members))
 
     from pdecontrol_tpu.envs.transforms import Identity
 
-    step = jax.jit(
-        lambda st: trainer.train_step(st, states, actions, Identity(),
-                                      jnp.asarray(1e-3))[0]
-    )
+    one = lambda st, s, a: trainer.train_step(  # noqa: E731
+        st, s, a, Identity(), jnp.asarray(1e-3))[0]
+    fn = jax.jit(jax.vmap(one))
+    step = lambda st: fn(st, states, actions)  # noqa: E731
+    try:
+        flops = _compiled_flops(fn.lower(tstate, states, actions).compile())
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        flops = None
+
     tstate = step(tstate)
     jax.block_until_ready(tstate.params)
     rates = []
@@ -181,7 +208,7 @@ def bench_tbtt(batch: int = 64, length: int = 20, iters: int = 40,
             tstate = step(tstate)
         jax.block_until_ready(tstate.params)
         rates.append(iters / (time.perf_counter() - t0))
-    return statistics.median(rates)
+    return statistics.median(rates), flops
 
 
 def bench_sac(batch: int = 256, iters: int = 50, chain: int = 100) -> float:
@@ -297,10 +324,27 @@ def main():
 
     secondaries = {}
     try:
-        secondaries["tbtt_train_steps_per_sec"] = round(bench_tbtt(), 1)
+        peak_train = peak_bf16_flops()
+        rate1, flops1 = bench_tbtt(members=1)
+        secondaries["tbtt_train_steps_per_sec"] = round(rate1, 1)
+        if flops1 and peak_train:
+            secondaries["tbtt_flops_per_step"] = flops1
+            secondaries["tbtt_train_mfu"] = round(rate1 * flops1 / peak_train, 5)
         print(f"[bench] surrogate TBPTT: "
               f"{secondaries['tbtt_train_steps_per_sec']:,} train_steps/s "
-              f"(B=64, T=20, conv-LSTM)", file=sys.stderr)
+              f"(B=64, T=20, conv-LSTM; "
+              f"mfu={secondaries.get('tbtt_train_mfu')})", file=sys.stderr)
+        # Member-fused step (the fit_ensemble/vmap_ensemble_training lever,
+        # 3 members = flagship num_dynamics_models): same optimizer
+        # semantics, 3x the math per dispatch — the product's knob for
+        # raising train-step MFU (VERDICT r3 weak #3 A/B).
+        rate3, flops3 = bench_tbtt(members=3)
+        secondaries["tbtt_ens3_steps_per_sec"] = round(rate3, 1)
+        if flops3 and peak_train:
+            secondaries["tbtt_ens3_mfu"] = round(rate3 * flops3 / peak_train, 5)
+        print(f"[bench] surrogate TBPTT member-fused x3: "
+              f"{secondaries['tbtt_ens3_steps_per_sec']:,} ens_steps/s "
+              f"(mfu={secondaries.get('tbtt_ens3_mfu')})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] tbtt bench failed: {e}", file=sys.stderr)
     try:

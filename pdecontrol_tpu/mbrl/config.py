@@ -34,6 +34,17 @@ class MBPOConfig:
     # False to get per-phase t_* timings instead of the single t_fused.
     fuse_iteration: bool = True
 
+    # Fuse each surrogate retrain's ENTIRE early-stopped fit into one
+    # program (lax.while_loop over fused epochs, early-stopping counters on
+    # device, ONE final device_get) — removes the per-epoch blocking
+    # val-loss pull that cost 178 s of the round-3 50k receipt.  Requires
+    # an iteration-typed curriculum (constant window length within a fit);
+    # other curricula fall back to the per-epoch host loop automatically.
+    # The early-stopping decision trajectory is identical to the host
+    # loop; params match to rounding level (see train/trainer.py).  Set
+    # False to recover the per-epoch t_fit_val timing breakdown.
+    fuse_fit: bool = True
+
     # Warm the XLA compilation cache for every (horizon, rounds) program the
     # rollout-length schedule will visit, on a background thread launched at
     # the start of learn() — the compiles overlap warmup collection and the

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_fuse_iteration", action="store_true",
                    help="dispatch collect/imagine/SAC as separate programs "
                         "(per-phase t_* timings; slower per iteration)")
+    p.add_argument("--no_fuse_fit", action="store_true",
+                   help="run surrogate retrains as a per-epoch host loop "
+                        "with blocking val pulls (per-epoch t_fit_val "
+                        "timings) instead of one on-device while_loop")
     # General
     p.add_argument("--total_timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -72,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh size sharding env/training batches (DP)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="mesh size sharding ensemble members (EP)")
+    # Multi-process (multi-host) runtime — opt-in; one process per host of
+    # a pod slice.  See parallel/distributed.py for the host-boundary rules
+    # (primary-only file I/O, process-identical seeds, replicated pulls).
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="jax.distributed coordinator (host:port); enables "
+                        "multi-process initialisation")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     # Env & rollouts
     p.add_argument("--env_id", default="KuramotoSivashinskyEnv-v0")
     p.add_argument("--env_config", type=str, default="{}")
@@ -147,6 +159,7 @@ def config_from_args(args: argparse.Namespace) -> MBPOConfig:
         resume=args.resume,
         profile_dir=args.profile_dir,
         fuse_iteration=not args.no_fuse_iteration,
+        fuse_fit=not args.no_fuse_fit,
         total_timesteps=args.total_timesteps,
         seed=args.seed,
         data_parallel=args.data_parallel,
@@ -205,6 +218,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.coordinator_address:
+        # Multi-process runtime (one process per host).  Must precede any
+        # backend use; the mesh then spans jax.devices() globally.
+        from pdecontrol_tpu.parallel import distributed
+
+        distributed.initialize(args.coordinator_address, args.num_processes,
+                               args.process_id)
     config = config_from_args(args)
 
     from pdecontrol_tpu.mbrl.controller import PDEModelBasedController

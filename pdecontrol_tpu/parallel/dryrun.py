@@ -170,7 +170,65 @@ def run(n_devices: int) -> None:
         assert int(jax.device_get(ctl.world_replay.ntimesteps)) > 0
     print(f"[dryrun] full MBPO iterations OK on the mesh "
           f"(imagined rollouts + SAC + eval; {ctl.iteration} iterations)")
+
+    # ---- 5. multi-process readiness --------------------------------------
+    # 2 OS processes x 4 virtual devices: one sharded collect + ensemble
+    # train step over the GLOBAL mesh via jax.distributed + Gloo CPU
+    # collectives, with the host-boundary assumptions (process-identical
+    # RNG, replicated-only metric pulls, primary-only file I/O) asserted
+    # loudly.  See parallel/dryrun_mp.py.
+    run_multiprocess()
     print(f"[dryrun] full training step validated on {n_devices}-device mesh")
+
+
+def run_multiprocess(num_processes: int = 2, local_devices: int = 4) -> None:
+    """Spawn the stage-5 children and verify their cross-process receipts."""
+    import json
+    import subprocess
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    port = 12000 + (os.getpid() % 20000)
+    with tempfile.TemporaryDirectory() as tmp:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        # The children pick their own virtual-device count; a parent-forced
+        # count would make the global mesh the wrong size.
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "pdecontrol_tpu.parallel.dryrun_mp",
+                 str(i), str(num_processes), str(port), tmp],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(num_processes)
+        ]
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"[dryrun-mp] process {i} failed "
+                    f"(rc={p.returncode}):\n{out}"
+                )
+        recs = [
+            json.load(open(os.path.join(tmp, f"proc{i}.json")))
+            for i in range(num_processes)
+        ]
+        # Replicated pulls agree bitwise across processes (same-seed RNG +
+        # same global program), sharded pulls raised everywhere, exactly
+        # one primary wrote the metrics file exactly once.
+        assert len({r["rmean"] for r in recs}) == 1, recs
+        assert len({r["train_loss_mean"] for r in recs}) == 1, recs
+        assert all(r["sharded_pull_raised"] for r in recs), recs
+        assert [r["primary"] for r in recs].count(True) == 1, recs
+        with open(os.path.join(tmp, "metrics.jsonl")) as f:
+            assert len(f.readlines()) == 1
+        assert all(r["global_devices"] == num_processes * local_devices
+                   for r in recs)
+    print(f"[dryrun] stage 5 OK: {num_processes} processes x "
+          f"{local_devices} devices, collectives over the global mesh, "
+          "host-boundary assumptions verified")
 
 
 if __name__ == "__main__":

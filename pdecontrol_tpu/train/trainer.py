@@ -109,6 +109,21 @@ class SurrogateTrainer:
         # split sequence as the per-batch dispatch loop -> bit-identical
         # training; equivalence-tested in tests/test_trainer.py.
         self.fuse_epoch = True
+        # Fuse the ENTIRE early-stopped fit (all epochs) into one program
+        # when the curriculum is iteration-typed (window length constant
+        # within a fit): a lax.while_loop over fused epochs carrying the
+        # per-member best/wait/stopped early-stopping counters ON DEVICE.
+        # This removes the per-epoch blocking device_get of val_loss that
+        # the reference delegates to a Lightning EarlyStopping callback
+        # (mbrl.py:351-354) and that cost ~2000 synchronous device->host
+        # round trips per 50k run (t_fit_val, 19% of the round-3 receipt).
+        # Same PRNG split sequence and update order as the per-epoch host
+        # loop; the early-stopping decision trajectory replays exactly,
+        # while params/losses agree to rounding level only (XLA compiles
+        # the identical epoch body 1-2 ulp differently inside a while_loop
+        # context — measured 3e-8 after ONE epoch on bit-identical inputs).
+        # Equivalence-tested in tests/test_trainer.py.
+        self.fuse_fit = True
         self._train_jit = {}
         self._val_jit = {}
 
@@ -488,6 +503,94 @@ class SurrogateTrainer:
             self._train_jit[key_] = epoch
         return self._train_jit[key_]
 
+    def _ensemble_fit_fn(self, length: int, m: int):
+        """The WHOLE early-stopped ensemble fit as one jitted program: a
+        ``lax.while_loop`` over fused epochs whose carry holds the
+        per-member early-stopping state (best/wait/stopped/steps) on
+        device.  Exactly replays the host loop's PRNG split sequence and
+        bookkeeping order — the early-stopping decision trajectory is
+        identical, params/losses match to rounding level (1-2 ulp: XLA
+        compiles the same epoch body slightly differently inside the
+        while_loop) — and the only host sync left is ONE device_get of the
+        final (val_losses, train_loss, steps, epochs) after the fit.
+
+        Requires a constant window length across epochs — ``fit_ensemble``
+        only routes here for iteration-typed curricula.  ``nb``, the lr
+        ladder, patience/min/max_steps/max_epochs are all traced, so replay
+        growth and the initial/iterations trainer phases never recompile
+        (the lr ladder's length pins ``max_epochs`` per executable)."""
+        key_ = ("ens_fit", length, m, self.config.tau, self.config.tbtt,
+                self.config.batch_size, self.mesh is not None)
+        if key_ not in self._train_jit:
+            vtrain, vval = self._member_fns(length)
+
+            @jax.jit
+            def fused_fit(stacked, replay, train_mask, val_mask, und,
+                          stransf, key, nb, lrs, patience, min_steps,
+                          max_steps, best, wait, stopped, steps, vls,
+                          last_tl):
+                has_max = max_steps > 0
+                max_epochs = lrs.shape[0]
+
+                def cond(carry):
+                    stopped, epoch = carry[4], carry[6]
+                    return jnp.logical_and(~jnp.all(stopped),
+                                           epoch < max_epochs)
+
+                def body(carry):
+                    (stacked, key, best, wait, stopped, steps, epoch, vls,
+                     last_tl) = carry
+                    lr = lrs[epoch]
+                    nb_eff = jnp.where(
+                        has_max,
+                        jnp.clip(max_steps - jnp.max(steps), 0, nb), nb
+                    )
+                    active = ~stopped
+
+                    def bstep(_, c):
+                        stacked, key, _ = c
+                        key, kb = jax.random.split(key)
+                        member_keys = jax.random.split(kb, m)
+                        stacked, tm = vtrain(stacked, replay, train_mask,
+                                             und, stransf, lr, member_keys,
+                                             active)
+                        return stacked, key, jnp.mean(tm["train_loss"])
+
+                    init = (stacked, key,
+                            jnp.full((), jnp.nan, jnp.float32))
+                    stacked, key, tl = jax.lax.fori_loop(0, nb_eff, bstep,
+                                                         init)
+                    key, kv = jax.random.split(key)
+                    vm = vval(stacked.params, replay, val_mask, und,
+                              stransf, jax.random.split(kv, m))
+                    vl = vm["val_loss"]
+
+                    # Host-loop bookkeeping, same order (fit_ensemble).
+                    steps = jnp.where(stopped, steps, steps + nb_eff)
+                    stopped = stopped | (has_max & (nb_eff < nb))
+                    last_tl = jnp.where(nb_eff > 0, tl, last_tl)
+                    vls = jnp.where(stopped, vls, vl)
+                    improved = vl < best
+                    wait = jnp.where(stopped | improved,
+                                     jnp.where(improved, 0, wait), wait + 1)
+                    best = jnp.minimum(best, jnp.where(stopped, best, vl))
+                    newly = ((~stopped) & (wait >= patience)
+                             & (steps >= min_steps))
+                    stopped = stopped | newly
+                    stopped = stopped | (has_max
+                                         & (jnp.max(steps) >= max_steps))
+                    return (stacked, key, best, wait, stopped, steps,
+                            epoch + 1, vls, last_tl)
+
+                carry = (stacked, key, best, wait, stopped, steps,
+                         jnp.zeros((), jnp.int32), vls, last_tl)
+                carry = jax.lax.while_loop(cond, body, carry)
+                (stacked, _, _, _, _, steps, epoch, vls, last_tl) = carry
+                return stacked, vls, last_tl, steps, epoch
+
+            self._train_jit[key_] = fused_fit
+        return self._train_jit[key_]
+
     def fit_ensemble(
         self,
         states,  # list[TrainerState] or stacked TrainerState (leading M axis)
@@ -532,6 +635,81 @@ class SurrogateTrainer:
         # Cumulative step basis so a steptype='step' curriculum advances
         # across retrains (matches fit's start_step + steps_taken).
         start_step = int(np.max(np.asarray(jax.device_get(stacked.global_step))))
+
+        # Whole-fit fusion: iteration-typed curricula hold the window length
+        # constant within a fit, so every epoch runs the same program and
+        # the early-stopping loop itself can live on device (one
+        # lax.while_loop, one final pull).  Epoch/step-typed curricula grow
+        # the window per epoch (new shapes) and keep the host loop below.
+        if (self.fuse_epoch and self.fuse_fit and max_epochs > 0
+                and getattr(curriculum, "steptype", None) == "iteration"):
+            k = int(curriculum(iteration=iteration, epoch=0, step=start_step))
+            length = cfg.tau + k
+            _check_windows(fill, train_np, val_np, length)
+            nwin = int(np.sum(
+                np.maximum((fill[train_np] - length) // length + 1, 0)
+            ))
+            nb = max(nwin // cfg.batch_size, 1)
+            # The lr ladder, precomputed on host so the fused fit's per-epoch
+            # lr is bit-identical to the host loop's ``jnp.asarray(lr)``.
+            lrs = jnp.asarray([
+                cfg.lr * (cfg.lr_gamma ** (e // cfg.step_size))
+                for e in range(max_epochs)
+            ])
+            # Probe the val-loss dtype (f32 on TPU, f64 under x64 tests) so
+            # the best/val_losses carries match the host loop's precision;
+            # cached — the abstract trace of vval is not free.
+            vdt_key = ("vdt", length, m, self.mesh is not None)
+            if vdt_key not in self._train_jit:
+                _, vval = self._member_fns(length)
+                abs_ = lambda t: jax.tree.map(  # noqa: E731
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                    if hasattr(x, "shape") else x, t)
+                self._train_jit[vdt_key] = jax.eval_shape(
+                    vval, abs_(stacked.params), abs_(replay),
+                    abs_(train_mask), abs_(und), abs_(stransf),
+                    abs_(jax.random.split(key, m)),
+                )["val_loss"].dtype
+            vdt = self._train_jit[vdt_key]
+            t_prep = time.perf_counter() - t_prep0
+            t0 = time.perf_counter()
+            stacked, vls, tl, steps, epochs_run = self._ensemble_fit_fn(
+                length, m
+            )(
+                stacked, replay, train_mask, val_mask, und, stransf, key,
+                jnp.asarray(nb, jnp.int32), lrs,
+                jnp.asarray(patience, jnp.int32),
+                jnp.asarray(min_steps, jnp.int32),
+                jnp.asarray(max_steps, jnp.int32),
+                jnp.full((m,), jnp.inf, vdt),
+                jnp.zeros((m,), jnp.int32),
+                jnp.zeros((m,), bool),
+                jnp.zeros((m,), jnp.int32),
+                jnp.full((m,), jnp.nan, vdt),
+                jnp.full((), jnp.nan, jnp.float32),
+            )
+            t_dispatch = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            val_losses, last_tl, steps_np, nep = jax.device_get(
+                (vls, tl, steps, epochs_run)
+            )
+            t_ready = time.perf_counter() - t0
+            nep = int(nep)
+            logs = {
+                "train_loss": float(last_tl),
+                "val_loss": float(np.mean(val_losses)),
+                "epochs": nep,
+                "curriculum_K": k,
+                "lr": float(cfg.lr * (cfg.lr_gamma
+                                      ** (max(nep - 1, 0) // cfg.step_size))),
+                "steps": int(np.max(steps_np)),
+                "t_fit_prep": round(t_prep, 4),
+                "t_fit_dispatch": round(t_dispatch, 4),
+                # One blocking pull for the whole fit: device execution time
+                # surfaces here (the per-epoch t_fit_val syncs are gone).
+                "t_fit_ready": round(t_ready, 4),
+            }
+            return stacked, np.asarray(val_losses), logs
 
         best = np.full(m, np.inf)
         wait = np.zeros(m, int)

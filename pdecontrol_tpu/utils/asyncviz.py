@@ -24,7 +24,11 @@ from typing import Callable, List
 
 
 class BackgroundRenderer:
-    def __init__(self) -> None:
+    def __init__(self, enabled: bool = True) -> None:
+        # enabled=False on non-primary processes of a multi-process run:
+        # plots/artifacts are file I/O, which is primary-only
+        # (parallel/distributed.py host-boundary rules).
+        self.enabled = enabled
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="viz")
         self._pending: List = []
@@ -32,6 +36,8 @@ class BackgroundRenderer:
     def submit(self, fn: Callable[[], None]) -> None:
         """Queue a no-arg job; capture loop state (iteration numbers,
         arrays) by value in the closure before submitting."""
+        if not self.enabled:
+            return
 
         def guarded() -> None:
             try:

@@ -17,7 +17,20 @@ from typing import Dict, List, Optional
 class MetricsLogger:
     def __init__(self, run_dir: str, use_wandb: bool = False,
                  project: Optional[str] = None, name: Optional[str] = None,
-                 config: Optional[Dict] = None, append: bool = False):
+                 config: Optional[Dict] = None, append: bool = False,
+                 enabled: bool = True):
+        # enabled=False (non-primary processes of a multi-process run):
+        # keep the in-memory summary (status tables still work) but never
+        # touch the filesystem or wandb — file I/O is primary-only
+        # (parallel/distributed.py host-boundary rules).
+        self.enabled = enabled
+        self._pending: Dict = {}
+        self.summary: Dict = {}
+        self._step = 0
+        self.wandb = None
+        self._file = None
+        if not enabled:
+            return
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
@@ -30,11 +43,6 @@ class MetricsLogger:
             os.replace(self.path, backup)
             print(f"[logger] existing metrics stream moved to {backup}")
         self._file = open(self.path, "a" if append else "w", buffering=1)
-        self._pending: Dict = {}
-        self.summary: Dict = {}
-        self._step = 0
-
-        self.wandb = None
         if use_wandb:
             try:
                 import wandb
@@ -56,7 +64,8 @@ class MetricsLogger:
             record = dict(self._pending)
             record["_step"] = self._step
             record["_time"] = time.time()
-            self._file.write(json.dumps(record, default=str) + "\n")
+            if self._file is not None:
+                self._file.write(json.dumps(record, default=str) + "\n")
             if self.wandb is not None:
                 self.wandb.log(self._pending)
             self._pending = {}
@@ -75,7 +84,8 @@ class MetricsLogger:
         return "\n".join([head, rule, row])
 
     def finish(self) -> None:
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self.wandb is not None:
             self.wandb.finish()
 

@@ -271,6 +271,8 @@ def test_fit_ensemble_fused_epoch_matches_dispatch_loop():
     for fused in (True, False):
         trainer = SurrogateTrainer(model, mse_loss, cfg)
         trainer.fuse_epoch = fused
+        trainer.fuse_fit = False  # isolate epoch fusion (bitwise); the
+        # whole-fit while_loop is rounding-level and tested separately
         outs[fused] = trainer.fit_ensemble(
             states, rep, mask, mask, Identity(), SampleTransform(),
             ConstantLengthScheduler(length=3), iteration=0,
@@ -298,3 +300,85 @@ def test_fit_ensemble_fused_epoch_matches_dispatch_loop():
     assert flogs_f["steps"] == flogs_u["steps"]
     for a, b in zip(jax.tree.leaves(fst_f.params), jax.tree.leaves(fst_u.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize(
+    "stop_by",
+    ["patience", "max_steps"],
+)
+def test_fit_ensemble_whole_fit_fusion_matches_epoch_loop(stop_by):
+    """The whole-fit while_loop program (on-device early stopping, one final
+    pull) must match the per-epoch host loop: the early-stopping decision
+    trajectory (steps, epochs, per-member stop points, lr ladder) exactly,
+    and params/losses to rounding level — XLA compiles the identical epoch
+    body 1-2 ulp differently inside a while_loop context (measured 3e-8 abs
+    after a single epoch with bit-identical inputs), so bitwise equality is
+    not achievable across the program boundary."""
+    key = jax.random.PRNGKey(13)
+    env, rep = _ks_replay(key, episodes=4, ep_len=16)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta,
+                           N=32)
+    if stop_by == "patience":
+        cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, lr_gamma=0.7, step_size=2,
+                          batch_size=8, patience=1, max_epochs=12)
+    else:
+        cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, batch_size=8, patience=50,
+                          max_epochs=12, min_steps=4, max_steps=7)
+    states = [
+        SurrogateTrainer(model, mse_loss, cfg).init(
+            jax.random.PRNGKey(i), jnp.zeros((1, 2, 1, 32)),
+            jnp.zeros((1, 5, 1, 4)))
+        for i in range(2)
+    ]
+    mask = rep.fill > 0
+
+    outs = {}
+    for whole in (True, False):
+        trainer = SurrogateTrainer(model, mse_loss, cfg)
+        trainer.fuse_fit = whole  # both sides keep fuse_epoch=True
+        outs[whole] = trainer.fit_ensemble(
+            states, rep, mask, mask, Identity(), SampleTransform(),
+            ConstantLengthScheduler(length=3), iteration=0,
+            key=jax.random.PRNGKey(5),
+        )
+    (st_w, vl_w, logs_w), (st_e, vl_e, logs_e) = outs[True], outs[False]
+    assert "t_fit_ready" in logs_w and "t_fit_val" in logs_e
+    np.testing.assert_allclose(np.asarray(vl_w), np.asarray(vl_e),
+                               rtol=1e-4, atol=1e-9)
+    for f in ("steps", "epochs", "curriculum_K", "lr"):
+        assert logs_w[f] == logs_e[f], f
+    np.testing.assert_allclose(logs_w["train_loss"], logs_e["train_loss"],
+                               rtol=1e-4, atol=1e-9)
+    for a, b in zip(jax.tree.leaves(st_w.params),
+                    jax.tree.leaves(st_e.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_w.global_step),
+                                  np.asarray(st_e.global_step))
+
+
+def test_whole_fit_fusion_requires_iteration_curriculum():
+    """Epoch-typed curricula grow the window per epoch; the whole-fit
+    program can't represent that and fit_ensemble must fall back to the
+    host loop (detectable by the t_fit_val timing field it emits)."""
+    key = jax.random.PRNGKey(17)
+    env, rep = _ks_replay(key, episodes=4, ep_len=16)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta,
+                           N=32)
+    cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, batch_size=8, patience=50,
+                      max_epochs=3, max_steps=6)
+    states = [
+        SurrogateTrainer(model, mse_loss, cfg).init(
+            jax.random.PRNGKey(i), jnp.zeros((1, 2, 1, 32)),
+            jnp.zeros((1, 5, 1, 4)))
+        for i in range(2)
+    ]
+    mask = rep.fill > 0
+    trainer = SurrogateTrainer(model, mse_loss, cfg)
+    grow = LinearScheduler(steptype="epoch", start=0, stop=2, vmin=3, vmax=5)
+    stacked, vls, logs = trainer.fit_ensemble(
+        states, rep, mask, mask, Identity(), SampleTransform(), grow,
+        iteration=0, key=jax.random.PRNGKey(5),
+    )
+    assert "t_fit_val" in logs and "t_fit_ready" not in logs
+    assert np.isfinite(np.asarray(vls)).all()

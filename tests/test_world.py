@@ -12,8 +12,9 @@ from pdecontrol_tpu.models import factories
 from pdecontrol_tpu.models.surrogate import init_ensemble
 
 
-def _setup(key, num_envs=4, tau=2):
-    env = KuramotoSivashinsky.create(n=16, cfg_steps=5, t_max=0.25)  # 50 steps
+def _setup(key, num_envs=4, tau=2, objective="dissipation"):
+    env = KuramotoSivashinsky.create(n=16, cfg_steps=5, t_max=0.25,
+                                     objective=objective)  # 50 steps
     tr = ControllerTransforms.create(env, dtype=jnp.float32)
 
     # Fill a small real replay with random-env episodes.
@@ -81,10 +82,17 @@ def test_horizon_truncation_and_batch_reset():
     assert obs.shape == final.shape
 
 
-def test_rewards_match_env_reward_fn():
-    """Step reward == env.reward_fn on inverse-transformed obs + field."""
+import pytest
+
+
+@pytest.mark.parametrize("objective", ["dissipation", ""])
+def test_rewards_match_env_reward_fn(objective):
+    """Step reward == env.reward_fn on inverse-transformed obs + field —
+    for BOTH reward channels of the reference quirk (kuramoto.py:72):
+    truthy string -> l2control, '' -> the paper's dissipation+power
+    integrand.  The imagined-reward path must dispatch per objective."""
     key = jax.random.PRNGKey(2)
-    env, tr, rep, module, ens, world = _setup(key)
+    env, tr, rep, module, ens, world = _setup(key, objective=objective)
     wstate = world.reset(key, ens, rep, tr)
     action = jax.random.uniform(key, (4, 1, 4), minval=-1, maxval=1)
     wstate2, (obs, reward, term, trunc, final) = world.step(
@@ -96,3 +104,10 @@ def test_rewards_match_env_reward_fn():
     expect = env.reward_fn(phys_obs, phi[:, None, :])
     np.testing.assert_allclose(np.asarray(reward), np.asarray(expect),
                                rtol=1e-4, atol=1e-5)
+    if objective == "":
+        # The two channels must be genuinely different rewards on the same
+        # data, else this parametrisation tests nothing.
+        l2env = KuramotoSivashinsky.create(n=16, cfg_steps=5, t_max=0.25,
+                                           objective="dissipation")
+        alt = l2env.reward_fn(phys_obs, phi[:, None, :])
+        assert not np.allclose(np.asarray(expect), np.asarray(alt))
