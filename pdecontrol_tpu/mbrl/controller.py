@@ -479,7 +479,13 @@ class PDEModelBasedController:
         t_split0 = time.perf_counter()
 
         # Train/val split over episodes with any data (mbrl.py:570-573).
-        fill = np.asarray(jax.device_get(self.replay.fill))
+        # fill + every member's global_step come back in ONE pull (each
+        # separate device_get is a blocking tunnel round trip).
+        fill, gsteps = jax.device_get((
+            self.replay.fill,
+            tuple(st.global_step for st in self.member_states),
+        ))
+        fill = np.asarray(fill)
         rows = np.where(fill > 0)[0]
         rng = np.random.default_rng(self.iteration)
         rng.shuffle(rows)
@@ -491,9 +497,7 @@ class PDEModelBasedController:
         # Same step basis as fit/fit_ensemble (cumulative optimizer steps),
         # so a steptype='step' curriculum validates the split at the length
         # the fit will actually start from, not the stale step-0 length.
-        start_step = int(max(
-            int(jax.device_get(st.global_step)) for st in self.member_states
-        ))
+        start_step = int(max(int(g) for g in np.asarray(gsteps)))
         length0 = tc.tau + int(self.curriculum(iteration=self.iteration,
                                                epoch=0, step=start_step))
         ok = rows[fill[rows] >= length0]
@@ -546,6 +550,8 @@ class PDEModelBasedController:
                 self.iteration, k,
                 min_steps=tc.min_steps, max_steps=tc.max_steps,
                 patience=tc.patience,
+                host_hints={"fill": fill, "train_np": train_np_mask,
+                            "val_np": val_np_mask, "start_step": start_step},
             )
             logs["t_fit_total"] = round(time.perf_counter() - t_fit0, 4)
             self.member_states = [
@@ -562,6 +568,8 @@ class PDEModelBasedController:
                     self.curriculum, self.iteration, k,
                     min_steps=tc.min_steps, max_steps=tc.max_steps,
                     patience=tc.patience,
+                    host_hints={"fill": fill, "train_np": train_np_mask,
+                                "val_np": val_np_mask},
                 )
                 self.member_states[m] = state
                 scores.append(val_loss)
@@ -945,29 +953,36 @@ class PDEModelBasedController:
         in world space plus the imagined-vs-true reward L1 error."""
         horizon = self.config.surrogate_eval_horizon if horizon is None else horizon
         tau = self.tau
-        fill = np.asarray(jax.device_get(self.replay.fill))
-        complete = np.asarray(jax.device_get(self.replay.complete))
+        # One fused pull for both replay summaries, and one for both random
+        # draws (each separate device_get is a blocking tunnel round trip;
+        # 4 -> 2 per eval, measured in the ks50k_r4 waterfall's t_eval).
+        fill, complete = (np.asarray(x) for x in jax.device_get(
+            (self.replay.fill, self.replay.complete)
+        ))
         rows = np.where(complete & (fill >= tau + horizon))[0]
         if len(rows) == 0:
             return {}
 
         # Distinct host-side streams for episode/start choice and the device
         # rollout (elite selection) — keys are never reused across purposes.
-        self.key, kr, ks, kd = jax.random.split(self.key, 4)
-        row = int(rows[int(jax.device_get(
-            jax.random.randint(kr, (), 0, len(rows))
-        ))])
+        # The row/start choice maps two uniforms instead of two dependent
+        # randints so both draws come back in a single pull; same
+        # uniform-over-episodes/starts semantics as the reference's
+        # np.random.randint pair (mbrl.py:483-485).
+        self.key, kr, kd = jax.random.split(self.key, 3)
+        u = np.asarray(jax.device_get(jax.random.uniform(kr, (2,))))
+        row = int(rows[min(int(u[0] * len(rows)), len(rows) - 1)])
         # Exclusive upper bound matches the reference's
         # np.random.randint(0, length - tau - horizon) (mbrl.py:485);
         # the max(., 1) guard admits rows with exactly tau+horizon steps.
         hi = max(int(fill[row]) - tau - horizon, 1)
-        start = int(jax.device_get(jax.random.randint(ks, (), 0, hi)))
+        start = min(int(u[1] * hi), hi - 1)
 
         out = self._sur_eval_fn(horizon)(
             kd, self.ensemble, self.replay, self.tr,
             jnp.asarray(row, jnp.int32), jnp.asarray(start, jnp.int32),
         )
-        out = {k: jax.device_get(v) for k, v in out.items()}
+        out = jax.device_get(out)  # one pull for the whole metric dict
         self._save_plots(out["truth"], out["preds"], out["actions"],
                          out["hstep"], out["rtrue"], out["rpred"])
         self._save_surrogate_artifact(out)
@@ -1262,10 +1277,15 @@ class PDEModelBasedController:
 
     def _run_iteration(self) -> None:
         cfg = self.config
-        # Per-phase wall timings (each phase blocks on its primary output
-        # before the clock stops, so the numbers are honest device time,
-        # not dispatch time).  Phases are data-dependent so the added
-        # barriers cost only next-dispatch pipelining.
+        # Per-phase wall timings.  Under --no_fuse_iteration every phase
+        # blocks on its primary output before the clock stops, so the
+        # numbers are honest device time.  In the default fused mode the
+        # retrain iterations skip those barriers (each block is a full
+        # tunnel round trip on a remote backend — 3 per retrain, measured
+        # at up to ~1 s each under congestion in the ks50k_r4 waterfall);
+        # phase fields then measure dispatch time and the device wait
+        # surfaces at the first data-dependent pull (t_surrogate's split /
+        # t_pull), keeping the waterfall's total attribution exact.
         retrain = self.iteration % self.sur_train_freq == 0
         eval_iter = self.iteration % cfg.agent_eval_freq == 0
         horizon = int(self.schedule(iteration=self.iteration))
@@ -1322,7 +1342,8 @@ class PDEModelBasedController:
         else:
             self._flush_pending_log()
             _, collect_rmean = self.collect(cfg.rollout_length, random=False)
-            jax.block_until_ready(collect_rmean)
+            if not cfg.fuse_iteration:
+                jax.block_until_ready(collect_rmean)
             timings["t_collect"], t = (
                 round(time.perf_counter() - t, 4), time.perf_counter()
             )
@@ -1348,13 +1369,15 @@ class PDEModelBasedController:
                 )
 
             _, imag_rmean = self.imagine(horizon)
-            jax.block_until_ready(imag_rmean)
+            if not cfg.fuse_iteration:
+                jax.block_until_ready(imag_rmean)
             timings["t_imagine"], t = (
                 round(time.perf_counter() - t, 4), time.perf_counter()
             )
 
             pol_metrics = self.update_policy()
-            jax.block_until_ready(pol_metrics["qf_loss"])
+            if not cfg.fuse_iteration:
+                jax.block_until_ready(pol_metrics["qf_loss"])
             timings["t_policy"], t = (
                 round(time.perf_counter() - t, 4), time.perf_counter()
             )

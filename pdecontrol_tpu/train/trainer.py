@@ -311,21 +311,36 @@ class SurrogateTrainer:
         max_steps: Optional[int] = None,
         patience: Optional[int] = None,
         max_epochs: Optional[int] = None,
+        host_hints: Optional[Dict] = None,
     ) -> Tuple[TrainerState, float, Dict[str, float]]:
         """Host-side fit loop (one ensemble member).  Returns the final
         state, the last 'Val. Loss' (the elite score, mbrl.py:595), and logs.
+
+        ``host_hints`` may carry host copies of values the fit otherwise has
+        to pull from the device (``fill``, ``train_np``, ``val_np``,
+        ``start_step``).  The controller already holds all four when it
+        calls us (it built the split masks host-side); re-pulling them here
+        costs 3-4 blocking tunnel round trips per retrain on a remote
+        backend (measured in the ks50k_r4 waterfall's t_fit_prep).
         """
         cfg = self.config
         min_steps = cfg.min_steps if min_steps is None else min_steps
         max_steps = cfg.max_steps if max_steps is None else max_steps
         patience = cfg.patience if patience is None else patience
         max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
+        hints = host_hints or {}
 
-        fill = np.asarray(jax.device_get(replay.fill))
-        train_np = np.asarray(jax.device_get(train_mask)).astype(bool)
-        val_np = np.asarray(jax.device_get(val_mask)).astype(bool)
+        fill = (np.asarray(hints["fill"]) if "fill" in hints
+                else np.asarray(jax.device_get(replay.fill)))
+        train_np = (np.asarray(hints["train_np"]).astype(bool)
+                    if "train_np" in hints
+                    else np.asarray(jax.device_get(train_mask)).astype(bool))
+        val_np = (np.asarray(hints["val_np"]).astype(bool)
+                  if "val_np" in hints
+                  else np.asarray(jax.device_get(val_mask)).astype(bool))
 
-        start_step = int(jax.device_get(state.global_step))
+        start_step = (int(hints["start_step"]) if "start_step" in hints
+                      else int(jax.device_get(state.global_step)))
         best, wait = math.inf, 0
         val_loss = math.nan
         logs: Dict[str, float] = {}
@@ -606,6 +621,7 @@ class SurrogateTrainer:
         max_steps: Optional[int] = None,
         patience: Optional[int] = None,
         max_epochs: Optional[int] = None,
+        host_hints: Optional[Dict] = None,
     ):
         """Train ALL ensemble members in lock-step with per-member early
         stopping masks — the vmapped re-design of the reference's sequential
@@ -614,6 +630,9 @@ class SurrogateTrainer:
         analogue); a member that trips early stopping freezes while the rest
         continue, preserving per-member stopping semantics.
 
+        ``host_hints`` — see :meth:`fit`; skips up to four blocking
+        device->host round trips when the caller already holds the values.
+
         Returns (stacked TrainerState, per-member val losses, logs).
         """
         cfg = self.config
@@ -621,6 +640,7 @@ class SurrogateTrainer:
         max_steps = cfg.max_steps if max_steps is None else max_steps
         patience = cfg.patience if patience is None else patience
         max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
+        hints = host_hints or {}
 
         t_prep0 = time.perf_counter()
         if isinstance(states, list):
@@ -629,12 +649,20 @@ class SurrogateTrainer:
             stacked = states
         m = int(jax.tree.leaves(stacked.params)[0].shape[0])
 
-        fill = np.asarray(jax.device_get(replay.fill))
-        train_np = np.asarray(jax.device_get(train_mask)).astype(bool)
-        val_np = np.asarray(jax.device_get(val_mask)).astype(bool)
+        fill = (np.asarray(hints["fill"]) if "fill" in hints
+                else np.asarray(jax.device_get(replay.fill)))
+        train_np = (np.asarray(hints["train_np"]).astype(bool)
+                    if "train_np" in hints
+                    else np.asarray(jax.device_get(train_mask)).astype(bool))
+        val_np = (np.asarray(hints["val_np"]).astype(bool)
+                  if "val_np" in hints
+                  else np.asarray(jax.device_get(val_mask)).astype(bool))
         # Cumulative step basis so a steptype='step' curriculum advances
         # across retrains (matches fit's start_step + steps_taken).
-        start_step = int(np.max(np.asarray(jax.device_get(stacked.global_step))))
+        start_step = (
+            int(hints["start_step"]) if "start_step" in hints
+            else int(np.max(np.asarray(jax.device_get(stacked.global_step))))
+        )
 
         # Whole-fit fusion: iteration-typed curricula hold the window length
         # constant within a fit, so every epoch runs the same program and

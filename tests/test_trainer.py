@@ -357,6 +357,61 @@ def test_fit_ensemble_whole_fit_fusion_matches_epoch_loop(stop_by):
                                   np.asarray(st_e.global_step))
 
 
+def test_fit_host_hints_bitwise_identical():
+    """``host_hints`` only replaces device pulls with host copies of the
+    SAME values (fill / split masks / start_step) — the controller passes
+    them to save 3-4 blocking tunnel round trips per retrain — so results
+    must be bit-identical with and without them, for both fit paths."""
+    key = jax.random.PRNGKey(23)
+    env, rep = _ks_replay(key, episodes=4, ep_len=16)
+    model = factories.make("KSAutoRegFullyConnectedLSTM", delta=env.delta,
+                           N=32)
+    cfg = TrainConfig(tau=2, tbtt=4, lr=2e-3, batch_size=8, patience=2,
+                      max_epochs=6, max_steps=18)
+    states = [
+        SurrogateTrainer(model, mse_loss, cfg).init(
+            jax.random.PRNGKey(i), jnp.zeros((1, 2, 1, 32)),
+            jnp.zeros((1, 5, 1, 4)))
+        for i in range(2)
+    ]
+    mask = rep.fill > 0
+    fill_np = np.asarray(jax.device_get(rep.fill))
+    mask_np = np.asarray(jax.device_get(mask)).astype(bool)
+    hints = {"fill": fill_np, "train_np": mask_np, "val_np": mask_np,
+             "start_step": 0}
+
+    outs = {}
+    for use in (False, True):
+        trainer = SurrogateTrainer(model, mse_loss, cfg)
+        outs[use] = trainer.fit_ensemble(
+            states, rep, mask, mask, Identity(), SampleTransform(),
+            ConstantLengthScheduler(length=3), iteration=0,
+            key=jax.random.PRNGKey(5),
+            host_hints=hints if use else None,
+        )
+    (st_a, vl_a, lg_a), (st_b, vl_b, lg_b) = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(vl_a), np.asarray(vl_b))
+    assert lg_a["steps"] == lg_b["steps"] and lg_a["epochs"] == lg_b["epochs"]
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fouts = {}
+    for use in (False, True):
+        trainer = SurrogateTrainer(model, mse_loss, cfg)
+        fouts[use] = trainer.fit(
+            states[0], rep, mask, mask, Identity(), SampleTransform(),
+            ConstantLengthScheduler(length=3), iteration=0,
+            key=jax.random.PRNGKey(6),
+            host_hints={k: hints[k] for k in ("fill", "train_np", "val_np")}
+            if use else None,
+        )
+    (fst_a, fvl_a, _), (fst_b, fvl_b, _) = fouts[False], fouts[True]
+    assert fvl_a == fvl_b
+    for a, b in zip(jax.tree.leaves(fst_a.params),
+                    jax.tree.leaves(fst_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_whole_fit_fusion_requires_iteration_curriculum():
     """Epoch-typed curricula grow the window per epoch; the whole-fit
     program can't represent that and fit_ensemble must fall back to the
