@@ -1,6 +1,12 @@
 """Headline benchmark: batched Kuramoto–Sivashinsky env throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+...} IMMEDIATELY after the headline measurement, then re-prints it
+enriched with every secondary that completed inside the global budget
+(BENCH_BUDGET, default 450 s) — the last JSON line on stdout is always the
+most complete receipt available, and the process always exits 0 inside the
+budget even if a remote compile over the axon tunnel wedges (the round-4
+failure mode: BENCH_r04.json rc=124 with zero JSON lines).
 
 value        = agent env-steps/sec (each = one full control period: 250 RK4
                sub-steps x 4 RHS evals on N=64, the reference's per-step
@@ -41,9 +47,27 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persist compiles across bench invocations.  The driver runs
+    ``python bench.py`` without the runscripts' env exports, so every
+    round-end bench previously recompiled everything over the axon tunnel
+    — which intermittently takes minutes (CLAUDE.md) and is exactly what
+    voided the round-4 receipt (BENCH_r04.json rc=124).  sitecustomize has
+    already imported jax, so set the cache via config, not env."""
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
 
 
 def _time_once(step, state0, action, iters):
@@ -101,8 +125,17 @@ def peak_bf16_flops() -> float:
     return None
 
 
-def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
-    """Measure every solver backend through the product env API:
+ALL_VARIANTS = [
+    ("pallas_packed_highest", "pallas_packed", "highest"),
+    ("pallas_packed_bf16_3x", "pallas_packed", "bf16_3x"),
+    ("pallas_packed_bf16_4x", "pallas_packed", "bf16_4x"),
+    ("pallas", "pallas", "highest"),
+    ("xla", "xla", "highest"),
+]
+
+
+def bench_tpu(batch: int, iters: int = 10, repeats: int = 5, variants=None):
+    """Measure solver backends through the product env API:
     ``KuramotoSivashinsky.create(solver=...)`` + jitted ``env.step``."""
     import jax
     import jax.numpy as jnp
@@ -112,13 +145,7 @@ def bench_tpu(batch: int, iters: int = 10, repeats: int = 5):
     key = jax.random.PRNGKey(0)
     ku, ka, ks = jax.random.split(key, 3)
 
-    variants = [
-        ("pallas_packed_highest", "pallas_packed", "highest"),
-        ("pallas_packed_bf16_3x", "pallas_packed", "bf16_3x"),
-        ("pallas_packed_bf16_4x", "pallas_packed", "bf16_4x"),
-        ("pallas", "pallas", "highest"),
-        ("xla", "xla", "highest"),
-    ]
+    variants = ALL_VARIANTS if variants is None else variants
     results = {}
     for name, solver, prec in variants:
         try:
@@ -310,65 +337,110 @@ def bench_native(steps: int = 50) -> float:
     return steps / (time.perf_counter() - t0)
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", 16384))
-    repeats = int(os.environ.get("BENCH_REPEATS", 5))
-    results = bench_tpu(batch, repeats=repeats)
-    medians = {k: statistics.median(v) for k, v in results.items()}
-    for name, rates in sorted(results.items()):
-        med = medians[name]
-        spread = max(rates) - min(rates)
-        print(f"[bench] {name}: {med:,.0f} agent_steps/s "
-              f"(median of {len(rates)}, spread {spread:,.0f}, B={batch})",
-              file=sys.stderr)
+def _run_secondaries(done, deadline, batch, repeats):
+    """Worker-thread body: every non-headline measurement, each gated on
+    the remaining global budget.  Results accumulate into ``done`` as they
+    land, so the main thread can emit whatever completed even if a remote
+    compile wedges past the budget (the round-4 failure mode)."""
 
-    secondaries = {}
-    try:
+    def remaining():
+        return deadline - time.monotonic()
+
+    def section(name, min_needed, fn):
+        if remaining() < min_needed:
+            done.setdefault("skipped", []).append(name)
+            print(f"[bench] SKIP {name}: {remaining():.0f}s left "
+                  f"(< {min_needed}s budget)", file=sys.stderr)
+            return
+        t0 = time.monotonic()
+        try:
+            fn()
+            print(f"[bench] section {name} took {time.monotonic()-t0:.1f}s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            done.setdefault("skipped", []).append(name)
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+
+    def solvers():
+        res = bench_tpu(batch, repeats=repeats, variants=ALL_VARIANTS[1:])
+        for name, rates in sorted(res.items()):
+            med = statistics.median(rates)
+            done[name] = med
+            print(f"[bench] {name}: {med:,.0f} agent_steps/s "
+                  f"(median of {len(rates)}, spread "
+                  f"{max(rates)-min(rates):,.0f}, B={batch})", file=sys.stderr)
+
+    def tbtt():
         peak_train = peak_bf16_flops()
         rate1, flops1 = bench_tbtt(members=1)
-        secondaries["tbtt_train_steps_per_sec"] = round(rate1, 1)
+        done["tbtt_train_steps_per_sec"] = round(rate1, 1)
         if flops1 and peak_train:
-            secondaries["tbtt_flops_per_step"] = flops1
-            secondaries["tbtt_train_mfu"] = round(rate1 * flops1 / peak_train, 5)
+            done["tbtt_flops_per_step"] = flops1
+            done["tbtt_train_mfu"] = round(rate1 * flops1 / peak_train, 5)
         print(f"[bench] surrogate TBPTT: "
-              f"{secondaries['tbtt_train_steps_per_sec']:,} train_steps/s "
+              f"{done['tbtt_train_steps_per_sec']:,} train_steps/s "
               f"(B=64, T=20, conv-LSTM; "
-              f"mfu={secondaries.get('tbtt_train_mfu')})", file=sys.stderr)
+              f"mfu={done.get('tbtt_train_mfu')})", file=sys.stderr)
+
+    def tbtt3():
         # Member-fused step (the fit_ensemble/vmap_ensemble_training lever,
         # 3 members = flagship num_dynamics_models): same optimizer
         # semantics, 3x the math per dispatch — the product's knob for
         # raising train-step MFU (VERDICT r3 weak #3 A/B).
+        peak_train = peak_bf16_flops()
         rate3, flops3 = bench_tbtt(members=3)
-        secondaries["tbtt_ens3_steps_per_sec"] = round(rate3, 1)
+        done["tbtt_ens3_steps_per_sec"] = round(rate3, 1)
         if flops3 and peak_train:
-            secondaries["tbtt_ens3_mfu"] = round(rate3 * flops3 / peak_train, 5)
+            done["tbtt_ens3_mfu"] = round(rate3 * flops3 / peak_train, 5)
         print(f"[bench] surrogate TBPTT member-fused x3: "
-              f"{secondaries['tbtt_ens3_steps_per_sec']:,} ens_steps/s "
-              f"(mfu={secondaries.get('tbtt_ens3_mfu')})", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] tbtt bench failed: {e}", file=sys.stderr)
-    try:
-        secondaries["sac_updates_per_sec"] = round(bench_sac(), 1)
-        print(f"[bench] SAC: {secondaries['sac_updates_per_sec']:,} "
-              f"updates/s (B=256)", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] sac bench failed: {e}", file=sys.stderr)
+              f"{done['tbtt_ens3_steps_per_sec']:,} ens_steps/s "
+              f"(mfu={done.get('tbtt_ens3_mfu')})", file=sys.stderr)
 
+    def sac():
+        done["sac_updates_per_sec"] = round(bench_sac(), 1)
+        print(f"[bench] SAC: {done['sac_updates_per_sec']:,} "
+              f"updates/s (B=256)", file=sys.stderr)
+
+    def native():
+        sps = bench_native()
+        print(f"[bench] native C++ (1 core): {sps:.1f} agent_steps/s",
+              file=sys.stderr)
+
+    section("solvers", 60, solvers)
+    section("tbtt", 45, tbtt)
+    section("tbtt_ens3", 45, tbtt3)
+    section("sac", 30, sac)
+    section("native", 10, native)
+    done["done"] = True
+
+
+def main():
+    _enable_compile_cache()
+    budget = float(os.environ.get("BENCH_BUDGET", 450))
+    deadline = time.monotonic() + budget
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
+
+    # vs_baseline denominator first: pure-host scipy, no tunnel risk.
     oracle_sps = bench_oracle()
     print(f"[bench] scipy oracle (reference-equivalent, 1 core): "
           f"{oracle_sps:.2f} agent_steps/s", file=sys.stderr)
-    try:
-        native_sps = bench_native()
-        print(f"[bench] native C++ (1 core): {native_sps:.1f} agent_steps/s",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] native unavailable: {e}", file=sys.stderr)
 
-    headline_key = ("pallas_packed_highest"
-                    if "pallas_packed_highest" in medians else "xla")
-    headline = medians.get(headline_key, 0.0)
-    spread = (max(results[headline_key]) - min(results[headline_key])
-              if headline_key in results else 0.0)
+    # Headline variant ONLY, in the main thread — then emit the headline
+    # JSON immediately (VERDICT r4 #1: rc=124 voided the whole receipt
+    # because the JSON printed last).
+    results = bench_tpu(batch, repeats=repeats, variants=ALL_VARIANTS[:1])
+    headline_key = "pallas_packed_highest"
+    if headline_key not in results:  # packed kernel unavailable: XLA fallback
+        results = bench_tpu(batch, repeats=repeats,
+                            variants=[("xla", "xla", "highest")])
+        headline_key = "xla"
+    rates = results[headline_key]
+    headline = statistics.median(rates)
+    spread = max(rates) - min(rates)
+    print(f"[bench] {headline_key}: {headline:,.0f} agent_steps/s "
+          f"(median of {len(rates)}, spread {spread:,.0f}, B={batch})",
+          file=sys.stderr)
 
     # MFU's closed-form FLOP count describes the packed HIGHEST kernel's
     # pass structure only — skip it when the headline fell back to XLA
@@ -383,27 +455,46 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"[bench] mfu estimate failed: {e}", file=sys.stderr)
 
-    ref_equivalent = 10.0 * oracle_sps
     out = {
         "metric": "ks_env_steps_per_sec",
         "value": round(headline, 1),
         "unit": "agent_steps/s",
-        "vs_baseline": round(headline / ref_equivalent, 2),
+        "vs_baseline": round(headline / (10.0 * oracle_sps), 2),
         "median_of": repeats,
         "spread": round(spread, 1),
         "mfu": round(mfu, 3) if mfu is not None else None,
         "peak_bf16_flops": peak,
-        "bf16_3x": round(medians.get("pallas_packed_bf16_3x", 0.0), 1),
-        "bf16_4x": round(medians.get("pallas_packed_bf16_4x", 0.0), 1),
-        "pallas": round(medians.get("pallas", 0.0), 1),
-        "xla": round(medians.get("xla", 0.0), 1),
-        **secondaries,
         "note": ("all solver rates measured through env.step (the product "
                  "API); single-chip measurement; the >=1e6 steps/s v5e-8 "
                  "target is an 8x extrapolation audited via the mfu field — "
                  "multi-chip execution is validated by dryrun_multichip"),
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # Everything else in a budgeted daemon thread: if a remote compile
+    # wedges, the main thread still re-emits the (enriched) JSON and exits
+    # 0 well inside the driver's timeout.  os._exit skips jax teardown,
+    # which can itself hang on an abandoned in-flight compile.
+    done = {}
+    worker = threading.Thread(target=_run_secondaries, daemon=True,
+                              args=(done, deadline, batch, repeats))
+    worker.start()
+    worker.join(max(5.0, deadline - time.monotonic()))
+    if not done.pop("done", False):
+        done.setdefault("skipped", []).append("worker_timeout")
+        print("[bench] global budget exhausted; emitting partial "
+              "secondaries", file=sys.stderr)
+    for k in ("pallas_packed_bf16_3x", "pallas_packed_bf16_4x", "pallas",
+              "xla"):
+        if k in done:
+            out[k.replace("pallas_packed_", "")] = round(done.pop(k), 1)
+    note = out.pop("note")
+    out.update(done)
+    out["note"] = note
+    print(json.dumps(out), flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -1433,6 +1433,12 @@ class PDEModelBasedController:
         from pdecontrol_tpu.utils import checkpoint as C
 
         self._flush_pending_log()
+        state = C.controller_state(self)
+        if jax.process_count() > 1:
+            # Collective: EVERY process gathers sharded leaves to
+            # replicated (else the primary's host pull would hit
+            # non-addressable shards — dryrun stage 6).
+            state = C.replicate_for_snapshot(state)
         if not self.primary:
             return  # restore runs everywhere; writes are primary-only
-        self.ckpt.save(self.iteration, C.controller_state(self))
+        self.ckpt.save(self.iteration, state)

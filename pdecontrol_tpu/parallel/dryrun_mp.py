@@ -141,5 +141,102 @@ def child(process_id: int, num_processes: int, port: int, outdir: str,
     distributed.shutdown()
 
 
+def _learn_config(run_dir: str, data_parallel: int, model_parallel: int):
+    """Tiny full-loop config over a (data, model) mesh — the stage-4 shapes
+    with checkpointing enabled so the primary-only save path is exercised."""
+    from pdecontrol_tpu.mbrl.config import MBPOConfig
+
+    ds = data_parallel
+    return MBPOConfig(
+        run_dir=run_dir,
+        env_config={"n": 16, "cfg_steps": 5, "t_max": 0.04},
+        data_parallel=ds,
+        model_parallel=model_parallel,
+        num_envs=2 * ds,
+        total_timesteps=8 * ds + 4 * ds,
+        learning_starts=8 * ds,
+        capacity=512,
+        pool_size=8,
+        surrogate_train_freq=4 * ds,
+        policy_train_steps_per_sample=1,
+        model_rollouts_per_sample=2,
+        model_rollouts_batch_size=2 * ds,
+        model_buffer_store_iterations=2,
+        model_buffer_max_capacity=64,
+        num_dynamics_models=2 * model_parallel,
+        num_elite_models=2 * model_parallel,
+        policy_batch_size=4 * ds,
+        agent_eval_freq=1,
+        num_eval_episodes=2,
+        surrogate_eval_horizon=3,
+        logging_freq=0,
+        status_report_freq=100,
+        checkpoint_freq=1,
+        rollout_length_schedule={
+            "scheduler": "ConstantLengthScheduler", "length": 2
+        },
+        training={"tau": 2, "tbtt": 4, "patience": 1, "batch_size": 4,
+                  "min_steps": 1, "max_steps": 2},
+        curriculum={"scheduler": "ConstantLengthScheduler", "length": 3},
+        precompile_horizons=False,
+    )
+
+
+def child_learn(process_id: int, num_processes: int, port: int, outdir: str,
+                local_devices: int = 4) -> None:
+    """Stage 6 child: the FULL product ``learn()`` under the multi-process
+    runtime (VERDICT r4 missing #4 — stage 5 was one step deep; the
+    controller's primary-only metrics/checkpoint/plot I/O and pipelined
+    flush had never run under 2 real processes).
+
+    Each process gets a DIFFERENT run_dir: the primary-only I/O rule then
+    becomes falsifiable — a non-primary process that writes anything leaves
+    files in its own (otherwise untouched) tree for the parent to find.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from pdecontrol_tpu.parallel import distributed
+
+    distributed.initialize(f"localhost:{port}", num_processes, process_id,
+                           local_device_count=local_devices)
+
+    from pdecontrol_tpu.mbrl.controller import PDEModelBasedController
+    from pdecontrol_tpu.parallel.distributed import is_primary
+
+    n_global = num_processes * local_devices
+    assert len(jax.devices()) == n_global
+    run_dir = os.path.join(
+        outdir,
+        f"run_p{process_id}" if num_processes > 1 else "run_single",
+    )
+    cfg = _learn_config(run_dir, data_parallel=n_global // 2,
+                        model_parallel=2)
+    ctl = PDEModelBasedController(cfg)
+    assert ctl.mesh is not None
+    ctl.learn()
+
+    files = []
+    if os.path.isdir(run_dir):
+        for root, _, names in os.walk(run_dir):
+            files += [os.path.relpath(os.path.join(root, f), run_dir)
+                      for f in names]
+    with open(os.path.join(outdir, f"learn_proc{process_id}.json"), "w") as f:
+        json.dump({
+            "process_id": process_id,
+            "primary": bool(is_primary()),
+            "iteration": int(ctl.iteration),
+            "num_pol_updates": int(ctl.num_pol_updates),
+            "run_dir": run_dir,
+            "files": sorted(files),
+        }, f)
+    print(f"[dryrun-mp] learn process {process_id} OK "
+          f"({ctl.iteration} iterations, {len(files)} files)", flush=True)
+    distributed.shutdown()
+
+
 if __name__ == "__main__":
-    child(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    _mode = sys.argv[5] if len(sys.argv) > 5 else "step"
+    _fn = child_learn if _mode == "learn" else child
+    _fn(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

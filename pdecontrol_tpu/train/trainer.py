@@ -329,6 +329,17 @@ class SurrogateTrainer:
         patience = cfg.patience if patience is None else patience
         max_epochs = cfg.max_epochs if max_epochs is None else max_epochs
         hints = host_hints or {}
+        # Hints are trusted copies of device values; a caller passing stale
+        # or mismatched arrays would silently desynchronise the host
+        # window-count logic from the device-side gathers (ADVICE r4) —
+        # shape checks catch the cheap-to-catch class of that bug.
+        for hk, dev in (("fill", replay.fill), ("train_np", train_mask),
+                        ("val_np", val_mask)):
+            if hk in hints and np.shape(hints[hk]) != dev.shape:
+                raise ValueError(
+                    f"host_hints[{hk!r}] shape {np.shape(hints[hk])} != "
+                    f"device shape {dev.shape}"
+                )
 
         fill = (np.asarray(hints["fill"]) if "fill" in hints
                 else np.asarray(jax.device_get(replay.fill)))

@@ -150,6 +150,38 @@ class CheckpointManager:
             return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def replicate_for_snapshot(state: Any) -> Any:
+    """Reshard every non-fully-addressable leaf to fully-replicated.
+
+    In a multi-process run the snapshot holds data-sharded arrays (env
+    state, replay buffers) whose shards live on OTHER processes' devices;
+    ``device_get`` on those raises (found by dryrun stage 6).  The
+    TPU-native fix is a device-side all-gather: one jitted identity with
+    replicated ``out_shardings``, dispatched by EVERY process (it is a
+    collective), after which the primary's host pull touches only
+    addressable data.  Single-process runs: every leaf is fully
+    addressable and this is the identity.
+    """
+    leaves, treedef = jax.tree.flatten(state)
+    idx = [
+        i for i, x in enumerate(leaves)
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable
+    ]
+    if not idx:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = tuple(
+        NamedSharding(leaves[i].sharding.mesh, PartitionSpec()) for i in idx
+    )
+    gathered = jax.jit(lambda *xs: xs, out_shardings=rep)(
+        *[leaves[i] for i in idx]
+    )
+    for i, g in zip(idx, gathered):
+        leaves[i] = g
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def controller_state(ctl) -> Dict[str, Any]:
     """Snapshot pytree of a PDEModelBasedController."""
     return {

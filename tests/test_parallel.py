@@ -2,12 +2,14 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys, pathlib
 
@@ -15,6 +17,15 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_multiprocess_learn_stage6():
+    """Full ``learn()`` on 2 processes x 4 devices: primary-only I/O and
+    metrics == single-process run (VERDICT r4 missing #4)."""
+    from pdecontrol_tpu.parallel.dryrun import run_multiprocess_learn
+
+    run_multiprocess_learn()
 
 
 def test_sharded_ensemble_train_matches_single_device():
