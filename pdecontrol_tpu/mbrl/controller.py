@@ -256,6 +256,12 @@ class PDEModelBasedController:
         self._eval_jit = None
         self._sur_eval_jit = {}
         self._log_pack_jit = None
+        # Jitted member stack/unstack + world-return reduction: the eager
+        # per-leaf versions cost hundreds of tunnel dispatches per retrain
+        # (the ks50k_r5 waterfall's 107.6 s surrogate_residual_s).
+        self._stack_members_fn = None
+        self._unstack_members_fn = None
+        self._world_ret_jit = None
         self._fused_jit = {}
         # Pipelined metrics flush: on back-to-back fused iterations the
         # packed log scalars of iteration i-1 are pulled while iteration
@@ -540,9 +546,25 @@ class PDEModelBasedController:
             # parallelism; per-member early stopping preserved by masking).
             # With a mesh the stacked member axis is sharded over ``model``.
             self.key, k = jax.random.split(self.key)
-            stacked_in = self._shard_members(
-                jax.tree.map(lambda *xs: jnp.stack(xs), *self.member_states)
-            )
+            # Stack the full member TrainerStates in ONE jitted program:
+            # the eager per-leaf jnp.stack was ~280 separate dispatches
+            # (one tunnel round trip each) per retrain, all landing in the
+            # unmeasured gap between t_split and t_fit (ks50k_r5 waterfall,
+            # surrogate_residual_s 107.6 s).  Mesh runs keep the eager path
+            # so the member-axis shardings are placed exactly as before.
+            if self.mesh is None:
+                if self._stack_members_fn is None:
+                    self._stack_members_fn = jax.jit(
+                        lambda sts: jax.tree.map(
+                            lambda *xs: jnp.stack(xs), *sts)
+                    )
+                stacked_in = self._stack_members_fn(
+                    tuple(self.member_states))
+            else:
+                stacked_in = self._shard_members(
+                    jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *self.member_states)
+                )
             t_fit0 = time.perf_counter()
             stacked_states, val_losses, logs = self.trainer.fit_ensemble(
                 stacked_in, self.replay, train_mask, val_mask,
@@ -554,11 +576,26 @@ class PDEModelBasedController:
                             "val_np": val_np_mask, "start_step": start_step},
             )
             logs["t_fit_total"] = round(time.perf_counter() - t_fit0, 4)
-            self.member_states = [
-                jax.tree.map(lambda x: x[m], stacked_states)
-                for m in range(cfg.num_dynamics_models)
-            ]
-            scores = [float(v) for v in val_losses]
+            # Unstack in one jitted program (same dispatch-count argument
+            # as the stack above; slicing is exact, so results are
+            # bit-identical to the eager per-leaf version).
+            if self.mesh is None:
+                if self._unstack_members_fn is None:
+                    M = cfg.num_dynamics_models
+                    self._unstack_members_fn = jax.jit(
+                        lambda st: tuple(
+                            jax.tree.map(lambda x: x[m], st)
+                            for m in range(M)
+                        )
+                    )
+                self.member_states = list(
+                    self._unstack_members_fn(stacked_states))
+            else:
+                self.member_states = [
+                    jax.tree.map(lambda x: x[m], stacked_states)
+                    for m in range(cfg.num_dynamics_models)
+                ]
+            scores = [float(v) for v in np.asarray(jax.device_get(val_losses))]
         else:
             for m in range(cfg.num_dynamics_models):
                 self.key, k = jax.random.split(self.key)
@@ -577,10 +614,17 @@ class PDEModelBasedController:
         # Write member params back into the stacked ensemble + elites
         # (replicated: rollout-path convs must not be member-sharded).
         t_post0 = time.perf_counter()
-        stacked = jax.tree.map(
-            lambda *leaves: jnp.stack(leaves),
-            *[st.params for st in self.member_states],
-        )
+        if cfg.vmap_ensemble_training and self.mesh is None:
+            # Single-chip vmapped path: the fit returned the stacked params
+            # already — the eager per-leaf restack was ~90 dispatches of
+            # pure overhead per retrain (most of t_post in the ks50k_r5
+            # waterfall).
+            stacked = stacked_states.params
+        else:
+            stacked = jax.tree.map(
+                lambda *leaves: jnp.stack(leaves),
+                *[st.params for st in self.member_states],
+            )
         self.ensemble = self.ensemble.replace(params=stacked)
         self.ensemble = update_elites(self.ensemble, jnp.asarray(scores))
         self.num_ensemble_updates += 1
@@ -873,7 +917,8 @@ class PDEModelBasedController:
             k1, self.sac_state, self.tr, self.pool, k2
         )
         self._save_eval_artifact(obs, actions, rewards)
-        return {"eval_return_mean": float(mean), "eval_return_std": float(std)}
+        mean, std = (float(x) for x in jax.device_get((mean, std)))
+        return {"eval_return_mean": mean, "eval_return_std": std}
 
     def _sur_eval_fn(self, horizon: int):
         """Jitted open-loop rollout of one logged episode's actions through
@@ -953,24 +998,25 @@ class PDEModelBasedController:
         in world space plus the imagined-vs-true reward L1 error."""
         horizon = self.config.surrogate_eval_horizon if horizon is None else horizon
         tau = self.tau
-        # One fused pull for both replay summaries, and one for both random
-        # draws (each separate device_get is a blocking tunnel round trip;
-        # 4 -> 2 per eval, measured in the ks50k_r4 waterfall's t_eval).
-        fill, complete = (np.asarray(x) for x in jax.device_get(
-            (self.replay.fill, self.replay.complete)
-        ))
-        rows = np.where(complete & (fill >= tau + horizon))[0]
-        if len(rows) == 0:
-            return {}
-
         # Distinct host-side streams for episode/start choice and the device
         # rollout (elite selection) — keys are never reused across purposes.
         # The row/start choice maps two uniforms instead of two dependent
         # randints so both draws come back in a single pull; same
         # uniform-over-episodes/starts semantics as the reference's
-        # np.random.randint pair (mbrl.py:483-485).
+        # np.random.randint pair (mbrl.py:483-485).  ONE fused pull for the
+        # replay summaries AND the uniforms (each separate device_get is a
+        # blocking tunnel round trip; 4 -> 1 per eval across rounds 4-5).
+        # The split now precedes the (extremely rare) no-eligible-row early
+        # return, so that edge consumes the key — uniform-equivalent.
         self.key, kr, kd = jax.random.split(self.key, 3)
-        u = np.asarray(jax.device_get(jax.random.uniform(kr, (2,))))
+        fill, complete, u = (np.asarray(x) for x in jax.device_get(
+            (self.replay.fill, self.replay.complete,
+             jax.random.uniform(kr, (2,)))
+        ))
+        rows = np.where(complete & (fill >= tau + horizon))[0]
+        if len(rows) == 0:
+            return {}
+
         row = int(rows[min(int(u[0] * len(rows)), len(rows) - 1)])
         # Exclusive upper bound matches the reference's
         # np.random.randint(0, length - tau - horizon) (mbrl.py:485);
@@ -1397,7 +1443,12 @@ class PDEModelBasedController:
         if self.iteration % cfg.agent_eval_freq == 0:
             self.logger.log(self.evaluate_policy(), commit=False)
             self.logger.log(self.evaluate_surrogate(), commit=False)
-            wmean, wstd = R.episode_returns(self.world_replay)
+            # Jitted reduction + one fused pull (the eager version was ~6
+            # dispatches and two blocking round trips per eval).
+            if self._world_ret_jit is None:
+                self._world_ret_jit = jax.jit(R.episode_returns)
+            wmean, wstd = jax.device_get(
+                self._world_ret_jit(self.world_replay))
             self.logger.log(
                 {"world_return_mean": float(wmean),
                  "world_return_std": float(wstd)},
