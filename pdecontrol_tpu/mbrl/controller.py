@@ -605,8 +605,12 @@ class PDEModelBasedController:
                     self.curriculum, self.iteration, k,
                     min_steps=tc.min_steps, max_steps=tc.max_steps,
                     patience=tc.patience,
+                    # Per-member start_step from the fused pull above —
+                    # without it each fit re-pulled state.global_step, one
+                    # blocking round trip per member per retrain (ADVICE r4).
                     host_hints={"fill": fill, "train_np": train_np_mask,
-                                "val_np": val_np_mask},
+                                "val_np": val_np_mask,
+                                "start_step": int(np.asarray(gsteps)[m])},
                 )
                 self.member_states[m] = state
                 scores.append(val_loss)
