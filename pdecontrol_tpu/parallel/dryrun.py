@@ -306,6 +306,9 @@ def run_multiprocess_learn(num_processes: int = 2,
         assert [r["primary"] for r in recs].count(True) == 1, recs
         assert len({r["iteration"] for r in recs}) == 1, recs
         assert all(r["iteration"] >= 2 for r in recs), recs
+        # Checkpoint round-trip: EVERY process restored the primary's
+        # snapshot (after a durability barrier) and matched the live state.
+        assert all(r["restore_ok"] for r in recs), recs
         primary = next(r for r in recs if r["primary"])
         for r in recs:
             if r["primary"]:

@@ -222,6 +222,38 @@ def child_learn(process_id: int, num_processes: int, port: int, outdir: str,
         for root, _, names in os.walk(run_dir):
             files += [os.path.relpath(os.path.join(root, f), run_dir)
                       for f in names]
+
+    # Multi-process checkpoint ROUND-TRIP: restore runs on EVERY process
+    # from the primary's snapshot (the shared-run_dir rule,
+    # parallel/distributed.py).  The primary first waits for its async
+    # save to be durable, then a cross-process barrier releases the
+    # non-primaries to read.  The restored counters and (replicated)
+    # ensemble params must match the live final state.
+    restore_ok = False
+    try:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        from pdecontrol_tpu.utils import checkpoint as C
+        from pdecontrol_tpu.utils.checkpoint import CheckpointManager
+
+        if ctl.ckpt is not None and is_primary():
+            ctl.ckpt.wait()
+        multihost_utils.sync_global_devices("stage6-ckpt-durable")
+        primary_run = os.path.join(
+            outdir, "run_p0" if num_processes > 1 else "run_single")
+        mgr = CheckpointManager(os.path.join(primary_run, "checkpoints"))
+        snap = mgr.restore(C.controller_state(ctl))
+        assert int(snap["counters"]["iteration"]) == int(ctl.iteration)
+        live_leaf = np.asarray(jax.device_get(
+            jax.tree.leaves(ctl.ensemble.params)[0]))
+        rest_leaf = np.asarray(jax.tree.leaves(snap["ensemble"].params)[0])
+        assert np.allclose(live_leaf, rest_leaf), "restored params mismatch"
+        restore_ok = True
+    except Exception as e:  # noqa: BLE001
+        print(f"[dryrun-mp] restore round-trip failed on process "
+              f"{process_id}: {e}", flush=True)
+
     with open(os.path.join(outdir, f"learn_proc{process_id}.json"), "w") as f:
         json.dump({
             "process_id": process_id,
@@ -230,6 +262,7 @@ def child_learn(process_id: int, num_processes: int, port: int, outdir: str,
             "num_pol_updates": int(ctl.num_pol_updates),
             "run_dir": run_dir,
             "files": sorted(files),
+            "restore_ok": restore_ok,
         }, f)
     print(f"[dryrun-mp] learn process {process_id} OK "
           f"({ctl.iteration} iterations, {len(files)} files)", flush=True)

@@ -1,8 +1,10 @@
 """Checkpoint/resume round-trip + viz smoke tests."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_controller_checkpoint_roundtrip(tmp_path):
     import jax
 

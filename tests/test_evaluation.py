@@ -1,11 +1,13 @@
 """Offline generate/evaluate pipeline tests (tiny configs)."""
 
+import pytest
 import json
 import os
 
 import numpy as np
 
 
+@pytest.mark.slow
 def test_generate_and_evaluate(tmp_path):
     from pdecontrol_tpu.evaluation.generate import generate
 

@@ -49,6 +49,7 @@ def _tiny_config(tmp_path, env_id="KuramotoSivashinskyEnv-v0", **over):
     return MBPOConfig(**base)
 
 
+@pytest.mark.slow
 def test_mbrl_learn_smoke(tmp_path):
     cfg = _tiny_config(tmp_path)
     ctl = PDEModelBasedController(cfg)
@@ -110,6 +111,7 @@ def test_mbrl_learn_smoke(tmp_path):
     assert float(jax.device_get(ctl.tr.undscaling.var).squeeze()) > 0
 
 
+@pytest.mark.slow
 def test_fused_iteration_matches_unfused(tmp_path):
     """The fused whole-iteration program (collect -> imagine -> SAC in ONE
     jit, config.fuse_iteration) must reproduce the unfused per-phase
@@ -161,6 +163,7 @@ def test_fused_iteration_matches_unfused(tmp_path):
                 )
 
 
+@pytest.mark.slow
 def test_mbrl_burgers_smoke(tmp_path):
     cfg = _tiny_config(
         tmp_path,
@@ -204,6 +207,7 @@ def test_collect_scaling_semantics(tmp_path):
     assert world_obs.max() <= 1.0 + 1e-5 and world_obs.min() >= -1.0 - 1e-5
 
 
+@pytest.mark.slow
 def test_agent_stride_ablation(tmp_path):
     """The strided-observation ablation (reference setup_transforms sensor
     strides, mbrl.py:170-175) runs end-to-end: the SAC agent sees
@@ -222,6 +226,7 @@ def test_world_stride_rejected(tmp_path):
         PDEModelBasedController(_tiny_config(tmp_path, world_stride=2))
 
 
+@pytest.mark.slow
 def test_sequential_member_training_path(tmp_path):
     """The reference-style per-member sequential fits remain available
     (--sequential_member_training) and run end-to-end."""
@@ -232,6 +237,7 @@ def test_sequential_member_training_path(tmp_path):
     assert int(jax.device_get(ctl.replay.total_steps)) == 16
 
 
+@pytest.mark.slow
 def test_open_loop_eval_alignment(tmp_path):
     """preds[0] of the open-loop surrogate eval is the warm-start reset
     prediction (frame tau) and truth[0] is the logged frame tau — the
@@ -284,6 +290,7 @@ def test_open_loop_eval_alignment(tmp_path):
 
 
 @pytest.mark.parametrize("factory", sorted(REGISTRY))
+@pytest.mark.slow
 def test_mbrl_all_factories_smoke(tmp_path, factory):
     """Every registry architecture drives the FULL online MBPO loop —
     collect, ensemble retrain, imagined world rollouts (ensemble hidden +
@@ -310,6 +317,7 @@ def test_mbrl_all_factories_smoke(tmp_path, factory):
 
 
 @pytest.mark.parametrize("objective", ["dissipation", ""])
+@pytest.mark.slow
 def test_mbrl_smoke_both_objectives(tmp_path, objective):
     """Both reward channels of the reference quirk (kuramoto.py:72 — any
     truthy ``objective`` selects l2control; ``""`` selects the paper's

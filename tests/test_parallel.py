@@ -28,6 +28,7 @@ def test_multiprocess_learn_stage6():
     run_multiprocess_learn()
 
 
+@pytest.mark.slow
 def test_sharded_ensemble_train_matches_single_device():
     """The sharded vmapped ensemble gradient step produces the same params
     and losses as the unsharded one (members over ``model``, batches over
@@ -116,6 +117,7 @@ def test_sharded_sac_update_matches_single_device():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_controller_learn_on_mesh(tmp_path):
     """The PRODUCT path on a mesh: a tiny ``controller.learn()`` with
     --data_parallel/--model_parallel runs every stage (collect, ensemble
@@ -197,6 +199,7 @@ def test_controller_mesh_collect_matches_single_device(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_full_iteration_mesh_equivalence(tmp_path):
     """The strongest multi-chip-correctness statement available on one
     host: a full ``learn()`` (collect + delta refit + ensemble retrain +
@@ -291,6 +294,7 @@ def test_sharded_env_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_multiprocess_dryrun_stage5():
     """Multi-process readiness: 2 OS processes x 4 virtual CPU devices run
     one sharded collect + ensemble-train step over the GLOBAL mesh via

@@ -93,6 +93,7 @@ def test_rk4_substep(ops, oracle):
     np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_full_episode_equivalence():
     """Solver-equivalence gate over a full 400-step control episode.
 

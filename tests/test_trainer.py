@@ -32,6 +32,7 @@ def test_reencode_mask():
     assert not tbtt_reencode_mask(8, 1000).any()
 
 
+@pytest.mark.slow
 def test_fused_tbtt_matches_chunked_reference_pattern():
     """Fused single-scan TBPTT loss/grads == the reference's explicit chunk
     loop (training.py:69-112): warmup rollout, then per-chunk rollouts
@@ -103,6 +104,7 @@ def _ks_replay(key, episodes=6, ep_len=24, n=32):
     return env, rep
 
 
+@pytest.mark.slow
 def test_fit_learns_and_early_stops():
     key = jax.random.PRNGKey(1)
     env, rep = _ks_replay(key)

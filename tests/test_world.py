@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from pdecontrol_tpu.data import replay as R
@@ -41,6 +42,7 @@ def _setup(key, num_envs=4, tau=2, objective="dissipation"):
     return env, tr, rep, module, ens, world
 
 
+@pytest.mark.slow
 def test_reset_and_step_shapes():
     key = jax.random.PRNGKey(0)
     env, tr, rep, module, ens, world = _setup(key)
@@ -82,7 +84,6 @@ def test_horizon_truncation_and_batch_reset():
     assert obs.shape == final.shape
 
 
-import pytest
 
 
 @pytest.mark.parametrize("objective", ["dissipation", ""])
